@@ -55,6 +55,7 @@ def _trunc_normal(key, shape, std=0.1, dtype=jnp.float32):
     return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
 def init_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
     """Initialize the ETH-CNN parameter pytree.
 
@@ -221,6 +222,12 @@ def apply(params, luma, qp, *, thr_l1=0.5, thr_l2=0.5, early_exit="ctu",
 def apply_jit(params, luma, qp, thr_l1=0.5, thr_l2=0.5, early_exit="ctu"):
     return apply(params, luma, qp, thr_l1=thr_l1, thr_l2=thr_l2,
                  early_exit=early_exit)
+
+
+@jax.jit
+def apply_train_jit(params, luma, qp, dropout_rng):
+    """Jitted training-mode forward (dropout on, no early exit)."""
+    return apply(params, luma, qp, early_exit="none", dropout_rng=dropout_rng)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ def batch():
 
 def test_output_shape_and_range(params, batch):
     luma, qp = batch
-    out = eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp))
+    out = eth_cnn.apply_jit(params, jnp.asarray(luma), jnp.asarray(qp))
     assert out.shape == (6, 21)
     out = np.asarray(out)
     assert np.all(out >= 0.0) and np.all(out <= 1.0)
@@ -36,8 +36,9 @@ def test_numpy_parity(params, batch):
     """
     luma, qp = batch
     ref = eth_cnn.apply_numpy(params, luma, qp, thr_l1=-1.0, thr_l2=-1.0)
-    got = np.asarray(eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp),
-                                   early_exit="none"))
+    got = np.asarray(eth_cnn.apply_jit(params, jnp.asarray(luma),
+                                       jnp.asarray(qp),
+                                       early_exit="none"))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=5e-3)
     thr = 0.5
     borderline = np.abs(ref - thr) < 5e-3
@@ -48,8 +49,9 @@ def test_numpy_parity(params, batch):
 def test_early_exit_batch_matches_reference_semantics(params, batch):
     luma, qp = batch
     # With impossible thresholds the whole batch early-exits: levels 2/3 zero.
-    out = np.asarray(eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp),
-                                   thr_l1=1.1, thr_l2=1.1, early_exit="batch"))
+    out = np.asarray(eth_cnn.apply_jit(params, jnp.asarray(luma),
+                                       jnp.asarray(qp),
+                                       1.1, 1.1, early_exit="batch"))
     assert np.all(out[:, 1:] == 0.0)
     assert np.any(out[:, 0] > 0.0)
     ref = eth_cnn.apply_numpy(params, luma, qp, thr_l1=1.1, thr_l2=1.1)
@@ -58,11 +60,12 @@ def test_early_exit_batch_matches_reference_semantics(params, batch):
 
 def test_early_exit_ctu_gates_per_sample(params, batch):
     luma, qp = batch
-    full = np.asarray(eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp),
-                                    early_exit="none"))
+    full = np.asarray(eth_cnn.apply_jit(params, jnp.asarray(luma),
+                                        jnp.asarray(qp), early_exit="none"))
     thr = float(np.median(full[:, 0]))
-    out = np.asarray(eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp),
-                                   thr_l1=thr, thr_l2=0.0, early_exit="ctu"))
+    out = np.asarray(eth_cnn.apply_jit(params, jnp.asarray(luma),
+                                       jnp.asarray(qp),
+                                       thr, 0.0, early_exit="ctu"))
     gated = full[:, 0] <= thr
     assert np.all(out[gated, 1:5] == 0.0)
     assert np.all(out[~gated, 1:5] == full[~gated, 1:5])
@@ -71,9 +74,10 @@ def test_early_exit_ctu_gates_per_sample(params, batch):
 def test_dropout_changes_output_and_is_deterministic(params, batch):
     luma, qp = batch
     k = jax.random.PRNGKey(3)
-    a = eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp), dropout_rng=k)
-    b = eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp), dropout_rng=k)
-    c = eth_cnn.apply(params, jnp.asarray(luma), jnp.asarray(qp))
+    a = eth_cnn.apply_train_jit(params, jnp.asarray(luma), jnp.asarray(qp), k)
+    b = eth_cnn.apply_train_jit(params, jnp.asarray(luma), jnp.asarray(qp), k)
+    c = eth_cnn.apply_jit(params, jnp.asarray(luma), jnp.asarray(qp),
+                          early_exit="none")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
