@@ -1,0 +1,198 @@
+"""VPS/SPS/PPS/slice-header/SEI writing (H.265 7.3.2, D.2).
+
+Fixed Main-profile toolset for the AI path (mirrors the operating point of
+the reference encoder_intra_main.cfg: CTU 64, depth 4, TU 4..32, SAO off in
+our SPS, deblocking disabled in our PPS, scaling lists off, no WPP/tiles).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .bitstream import (BitWriter, nal_unit, NAL_VPS, NAL_SPS, NAL_PPS,
+                        NAL_IDR_W_RADL, NAL_SUFFIX_SEI)
+
+
+@dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    qp: int = 32
+    bit_depth: int = 8
+    level_idc: int = 120          # level 4.0
+    # fixed toolset
+    ctu_size: int = 64
+    min_cu: int = 8
+    min_tu: int = 4
+    max_tu: int = 32
+
+    @property
+    def pad_width(self):
+        return -(-self.width // self.min_cu) * self.min_cu
+
+    @property
+    def pad_height(self):
+        return -(-self.height // self.min_cu) * self.min_cu
+
+    @property
+    def ctus_x(self):
+        return -(-self.pad_width // self.ctu_size)
+
+    @property
+    def ctus_y(self):
+        return -(-self.pad_height // self.ctu_size)
+
+
+def _profile_tier_level(bw: BitWriter, level_idc: int):
+    bw.u(0, 2)        # general_profile_space
+    bw.u(0, 1)        # general_tier_flag
+    bw.u(1, 5)        # general_profile_idc = Main
+    for i in range(32):
+        bw.u(1 if i in (1, 2) else 0, 1)  # compat: Main, Main10
+    bw.u(1, 1)        # general_progressive_source_flag
+    bw.u(0, 1)        # general_interlaced_source_flag
+    bw.u(0, 1)        # general_non_packed_constraint_flag
+    bw.u(1, 1)        # general_frame_only_constraint_flag
+    bw.u(0, 32)       # reserved 43 bits ...
+    bw.u(0, 11)
+    bw.u(0, 1)        # general_inbld / reserved
+    bw.u(level_idc, 8)
+
+
+def write_vps(cfg: EncoderConfig) -> bytes:
+    bw = BitWriter()
+    bw.u(0, 4)        # vps_video_parameter_set_id
+    bw.u(1, 1)        # vps_base_layer_internal_flag
+    bw.u(1, 1)        # vps_base_layer_available_flag
+    bw.u(0, 6)        # vps_max_layers_minus1
+    bw.u(0, 3)        # vps_max_sub_layers_minus1
+    bw.u(1, 1)        # vps_temporal_id_nesting_flag
+    bw.u(0xFFFF, 16)  # vps_reserved_0xffff_16bits
+    _profile_tier_level(bw, cfg.level_idc)
+    bw.u(1, 1)        # vps_sub_layer_ordering_info_present_flag
+    bw.ue(4)          # vps_max_dec_pic_buffering_minus1
+    bw.ue(0)          # vps_max_num_reorder_pics
+    bw.ue(0)          # vps_max_latency_increase_plus1
+    bw.u(0, 6)        # vps_max_layer_id
+    bw.ue(0)          # vps_num_layer_sets_minus1
+    bw.u(0, 1)        # vps_timing_info_present_flag
+    bw.u(0, 1)        # vps_extension_flag
+    bw.align_one_then_zero()
+    return nal_unit(NAL_VPS, bw.get_bytes())
+
+
+def write_sps(cfg: EncoderConfig) -> bytes:
+    import math
+    bw = BitWriter()
+    bw.u(0, 4)        # sps_video_parameter_set_id
+    bw.u(0, 3)        # sps_max_sub_layers_minus1
+    bw.u(1, 1)        # sps_temporal_id_nesting_flag
+    _profile_tier_level(bw, cfg.level_idc)
+    bw.ue(0)          # sps_seq_parameter_set_id
+    bw.ue(1)          # chroma_format_idc = 4:2:0
+    bw.ue(cfg.pad_width)
+    bw.ue(cfg.pad_height)
+    crop_r = (cfg.pad_width - cfg.width) // 2    # chroma units
+    crop_b = (cfg.pad_height - cfg.height) // 2
+    if crop_r or crop_b:
+        bw.u(1, 1)    # conformance_window_flag
+        bw.ue(0)      # left
+        bw.ue(crop_r)
+        bw.ue(0)      # top
+        bw.ue(crop_b)
+    else:
+        bw.u(0, 1)
+    bw.ue(cfg.bit_depth - 8)   # bit_depth_luma_minus8
+    bw.ue(cfg.bit_depth - 8)   # bit_depth_chroma_minus8
+    bw.ue(4)          # log2_max_pic_order_cnt_lsb_minus4 (8-bit POC lsb)
+    bw.u(1, 1)        # sps_sub_layer_ordering_info_present_flag
+    bw.ue(4)          # sps_max_dec_pic_buffering_minus1
+    bw.ue(0)          # sps_max_num_reorder_pics
+    bw.ue(0)          # sps_max_latency_increase_plus1
+    log2_min_cu = cfg.min_cu.bit_length() - 1
+    log2_ctu = cfg.ctu_size.bit_length() - 1
+    bw.ue(log2_min_cu - 3)              # log2_min_luma_coding_block_size_minus3
+    bw.ue(log2_ctu - log2_min_cu)       # log2_diff_max_min
+    bw.ue(cfg.min_tu.bit_length() - 1 - 2)
+    bw.ue(cfg.max_tu.bit_length() - cfg.min_tu.bit_length())
+    bw.ue(0)          # max_transform_hierarchy_depth_inter
+    bw.ue(0)          # max_transform_hierarchy_depth_intra
+    bw.u(0, 1)        # scaling_list_enabled_flag
+    bw.u(0, 1)        # amp_enabled_flag
+    bw.u(0, 1)        # sample_adaptive_offset_enabled_flag
+    bw.u(0, 1)        # pcm_enabled_flag
+    bw.ue(0)          # num_short_term_ref_pic_sets
+    bw.u(0, 1)        # long_term_ref_pics_present_flag
+    bw.u(0, 1)        # sps_temporal_mvp_enabled_flag
+    bw.u(0, 1)        # strong_intra_smoothing_enabled_flag
+    bw.u(0, 1)        # vui_parameters_present_flag
+    bw.u(0, 1)        # sps_extension_present_flag
+    bw.align_one_then_zero()
+    return nal_unit(NAL_SPS, bw.get_bytes())
+
+
+def write_pps(cfg: EncoderConfig) -> bytes:
+    bw = BitWriter()
+    bw.ue(0)          # pps_pic_parameter_set_id
+    bw.ue(0)          # pps_seq_parameter_set_id
+    bw.u(0, 1)        # dependent_slice_segments_enabled_flag
+    bw.u(0, 1)        # output_flag_present_flag
+    bw.u(0, 3)        # num_extra_slice_header_bits
+    bw.u(0, 1)        # sign_data_hiding_enabled_flag
+    bw.u(0, 1)        # cabac_init_present_flag
+    bw.ue(0)          # num_ref_idx_l0_default_active_minus1
+    bw.ue(0)          # num_ref_idx_l1_default_active_minus1
+    bw.se(cfg.qp - 26)  # init_qp_minus26
+    bw.u(0, 1)        # constrained_intra_pred_flag
+    bw.u(0, 1)        # transform_skip_enabled_flag
+    bw.u(0, 1)        # cu_qp_delta_enabled_flag
+    bw.se(0)          # pps_cb_qp_offset
+    bw.se(0)          # pps_cr_qp_offset
+    bw.u(0, 1)        # pps_slice_chroma_qp_offsets_present_flag
+    bw.u(0, 1)        # weighted_pred_flag
+    bw.u(0, 1)        # weighted_bipred_flag
+    bw.u(0, 1)        # transquant_bypass_enabled_flag
+    bw.u(0, 1)        # tiles_enabled_flag
+    bw.u(0, 1)        # entropy_coding_sync_enabled_flag
+    bw.u(1, 1)        # pps_loop_filter_across_slices_enabled_flag
+    bw.u(1, 1)        # deblocking_filter_control_present_flag
+    bw.u(0, 1)        # deblocking_filter_override_enabled_flag
+    bw.u(1, 1)        # pps_deblocking_filter_disabled_flag
+    bw.u(0, 1)        # pps_scaling_list_data_present_flag
+    bw.u(0, 1)        # lists_modification_present_flag
+    bw.ue(0)          # log2_parallel_merge_level_minus2
+    bw.u(0, 1)        # slice_segment_header_extension_present_flag
+    bw.u(0, 1)        # pps_extension_present_flag
+    bw.align_one_then_zero()
+    return nal_unit(NAL_PPS, bw.get_bytes())
+
+
+def start_idr_slice(cfg: EncoderConfig, slice_qp: int) -> BitWriter:
+    """Slice header for a one-slice IDR I picture; returns the BitWriter
+    positioned (byte-aligned) at the start of slice data."""
+    bw = BitWriter()
+    bw.u(1, 1)        # first_slice_segment_in_pic_flag
+    bw.u(0, 1)        # no_output_of_prior_pics_flag
+    bw.ue(0)          # slice_pic_parameter_set_id
+    bw.ue(2)          # slice_type = I
+    bw.se(slice_qp - cfg.qp)  # slice_qp_delta (relative to init_qp)
+    bw.align_one_then_zero()  # byte_alignment before slice data
+    return bw
+
+
+def finish_slice_nal(bw: BitWriter) -> bytes:
+    return nal_unit(NAL_IDR_W_RADL, bw.get_bytes())
+
+
+def write_hash_sei(md5_y: bytes, md5_cb: bytes, md5_cr: bytes) -> bytes:
+    """decoded_picture_hash suffix SEI (D.2.19, hash_type 0 = MD5)."""
+    bw = BitWriter()
+    bw.u(132, 8)                 # payload type: decoded_picture_hash
+    bw.u(1 + 48, 8)              # payload size
+    bw.u(0, 8)                   # hash_type = MD5
+    for h in (md5_y, md5_cb, md5_cr):
+        assert len(h) == 16
+        for byte in h:
+            bw.u(byte, 8)
+    bw.align_one_then_zero()     # rbsp trailing
+    return nal_unit(NAL_SUFFIX_SEI, bw.get_bytes())

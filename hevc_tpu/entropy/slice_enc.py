@@ -1,0 +1,223 @@
+"""Slice-data entropy encoding: CTU quadtree, intra CUs, transform trees.
+
+Host-side CABAC driver consuming the per-frame decision tensors produced
+by the TPU pipeline:
+
+  depth8   [H/8, W/8]   CU depth (0..3) at 8x8 granularity (padded frame)
+  modes8   [H/8, W/8]   luma intra mode (0..34) at 8x8 granularity
+  coef_y   [H, W]       quantized luma coefficients, TUs in place
+  coef_cb  [H/2, W/2]   quantized Cb coefficients
+  coef_cr  [H/2, W/2]   quantized Cr coefficients
+
+Behavioral counterparts: HM TEncSbac codeSplitFlag/codeIntraDirLumaAng/
+codeIntraDirChroma/codeQtCbf + TEncCu::encodeCtu; re-derived from
+H.265 7.3.8 here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import residual, scan as scanlib
+from .cabac import CabacEncoder
+from .contexts import ContextModels
+
+PLANAR, DC, HOR, VER = 0, 1, 10, 26
+
+
+def mpm_list(cand_a: int, cand_b: int):
+    """3-entry most-probable-mode list (H.265 8.4.2)."""
+    if cand_a == cand_b:
+        if cand_a < 2:
+            return [PLANAR, DC, VER]
+        return [cand_a,
+                2 + ((cand_a + 29) % 32),
+                2 + ((cand_a - 2 + 1) % 32)]
+    mpm = [cand_a, cand_b]
+    if PLANAR not in mpm:
+        mpm.append(PLANAR)
+    elif DC not in mpm:
+        mpm.append(DC)
+    else:
+        mpm.append(VER)
+    return mpm
+
+
+class SliceEncoder:
+    def __init__(self, cfg, frame_qp: int):
+        self.cfg = cfg
+        self.qp = frame_qp
+
+    def encode(self, bw, depth8, modes8, coef_y, coef_cb, coef_cr):
+        """Encode all CTUs of the frame into BitWriter bw (slice data)."""
+        self.depth8 = np.asarray(depth8)
+        self.modes8 = np.asarray(modes8)
+        self.coef_y = np.asarray(coef_y)
+        self.coef_cb = np.asarray(coef_cb)
+        self.coef_cr = np.asarray(coef_cr)
+        self.W = self.cfg.pad_width
+        self.H = self.cfg.pad_height
+
+        ctx = ContextModels(init_type=0, qp=self.qp)
+        enc = CabacEncoder(bw)
+        self.ctx = ctx
+        self.enc = enc
+
+        n_ctu_x, n_ctu_y = self.cfg.ctus_x, self.cfg.ctus_y
+        n_ctu = n_ctu_x * n_ctu_y
+        for ci in range(n_ctu):
+            cy, cx = divmod(ci, n_ctu_x)
+            self._coding_quadtree(cx * 64, cy * 64, 64, 0)
+            last = ci == n_ctu - 1
+            enc.encode_terminate(1 if last else 0)
+
+    # ------------------------------------------------------------------
+    def _cu_depth_at(self, x, y):
+        return int(self.depth8[y >> 3, x >> 3])
+
+    def _mode_at(self, x, y):
+        return int(self.modes8[y >> 3, x >> 3])
+
+    def _coding_quadtree(self, x0, y0, size, depth):
+        inside = (x0 + size <= self.W) and (y0 + size <= self.H)
+        cur_depth = self._cu_depth_at(x0, y0)
+        split = cur_depth > depth
+        if inside and size > 8:
+            # split_cu_flag ctx: neighbours deeper than current depth
+            ctx_inc = 0
+            if x0 > 0:
+                ctx_inc += int(self._cu_depth_at(x0 - 1, y0) > depth)
+            if y0 > 0:
+                ctx_inc += int(self._cu_depth_at(x0, y0 - 1) > depth)
+            self.enc.encode_bin(self.ctx, self.ctx.idx("split_cu", ctx_inc),
+                                int(split))
+        # outside picture or size 8: split inferred (boundary: 1, size 8: 0)
+        if (inside and split) or (not inside and size > 8):
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < self.W and y1 < self.H:
+                    self._coding_quadtree(x1, y1, h, depth + 1)
+        else:
+            self._coding_unit(x0, y0, size)
+
+    def _coding_unit(self, x0, y0, size):
+        # I slice: pred mode inferred intra; part_mode only at min CU size.
+        if size == 8:
+            # part_mode 2Nx2N -> bin 1, ctx 0
+            self.enc.encode_bin(self.ctx, self.ctx.idx("part_mode", 0), 1)
+
+        mode = self._mode_at(x0, y0)
+        cand_a = DC
+        if x0 > 0:
+            cand_a = self._mode_at(x0 - 1, y0)
+        cand_b = DC
+        if y0 > 0 and (y0 - 1) >> 6 == y0 >> 6:  # above inside same CTU row
+            cand_b = self._mode_at(x0, y0 - 1)
+        mpm = mpm_list(cand_a, cand_b)
+
+        if mode in mpm:
+            self.enc.encode_bin(self.ctx,
+                                self.ctx.idx("prev_intra_luma_pred"), 1)
+            idx = mpm.index(mode)
+            self.enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                self.enc.encode_bypass(idx - 1)
+        else:
+            self.enc.encode_bin(self.ctx,
+                                self.ctx.idx("prev_intra_luma_pred"), 0)
+            rem = mode
+            for m in sorted(mpm, reverse=True):
+                if mode > m:
+                    rem -= 1
+            self.enc.encode_bypass_bins(rem, 5)
+
+        # intra_chroma_pred_mode: DM (derived) -> single 0 bin
+        self.enc.encode_bin(self.ctx, self.ctx.idx("chroma_pred_mode"), 0)
+
+        self._transform_tree(x0, y0, size, 0, mode)
+
+    # ------------------------------------------------------------------
+    def _tu_cbf(self, plane, x0, y0, size):
+        if plane == 0:
+            blk = self.coef_y[y0:y0 + size, x0:x0 + size]
+        elif plane == 1:
+            blk = self.coef_cb[y0 >> 1:(y0 + size) >> 1,
+                               x0 >> 1:(x0 + size) >> 1]
+        else:
+            blk = self.coef_cr[y0 >> 1:(y0 + size) >> 1,
+                               x0 >> 1:(x0 + size) >> 1]
+        return int(np.any(blk != 0))
+
+    def _transform_tree(self, x0, y0, size, trafo_depth, luma_mode):
+        # Our toolset: TU = CU (split only implicit at 64).
+        split = size > 32
+        log2 = size.bit_length() - 1
+
+        cbf_cb = self._tu_cbf(1, x0, y0, size)
+        cbf_cr = self._tu_cbf(2, x0, y0, size)
+        if log2 > 2:
+            # chroma cbfs coded at this level (parent cbf always "present"
+            # here because we only reach depth>0 under a 64 root)
+            self.enc.encode_bin(
+                self.ctx, self.ctx.idx("qt_cbf_chroma", trafo_depth), cbf_cb)
+            self.enc.encode_bin(
+                self.ctx, self.ctx.idx("qt_cbf_chroma", trafo_depth), cbf_cr)
+
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                self._transform_tree_child(x0 + dx, y0 + dy, h,
+                                           trafo_depth + 1, luma_mode,
+                                           cbf_cb, cbf_cr)
+            return
+
+        cbf_luma = self._tu_cbf(0, x0, y0, size)
+        self.enc.encode_bin(
+            self.ctx,
+            self.ctx.idx("qt_cbf_luma", 1 if trafo_depth == 0 else 0),
+            cbf_luma)
+        self._transform_unit(x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
+                             luma_mode)
+
+    def _transform_tree_child(self, x0, y0, size, trafo_depth, luma_mode,
+                              parent_cbf_cb, parent_cbf_cr):
+        cbf_cb = self._tu_cbf(1, x0, y0, size) if parent_cbf_cb else 0
+        cbf_cr = self._tu_cbf(2, x0, y0, size) if parent_cbf_cr else 0
+        if parent_cbf_cb:
+            self.enc.encode_bin(
+                self.ctx, self.ctx.idx("qt_cbf_chroma", trafo_depth), cbf_cb)
+        if parent_cbf_cr:
+            self.enc.encode_bin(
+                self.ctx, self.ctx.idx("qt_cbf_chroma", trafo_depth), cbf_cr)
+
+        cbf_luma = self._tu_cbf(0, x0, y0, size)
+        self.enc.encode_bin(
+            self.ctx,
+            self.ctx.idx("qt_cbf_luma", 0),
+            cbf_luma)
+        self._transform_unit(x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
+                             luma_mode)
+
+    def _transform_unit(self, x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
+                        luma_mode):
+        if not (cbf_luma or cbf_cb or cbf_cr):
+            return
+        if cbf_luma:
+            blk = self.coef_y[y0:y0 + size, x0:x0 + size]
+            st = scanlib.scan_type_for(luma_mode, size, True)
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=True,
+                                   scan_type=st)
+        half = size >> 1
+        if cbf_cb:
+            blk = self.coef_cb[y0 >> 1:(y0 >> 1) + half,
+                               x0 >> 1:(x0 >> 1) + half]
+            st = scanlib.scan_type_for(luma_mode, half, False)
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=False,
+                                   scan_type=st)
+        if cbf_cr:
+            blk = self.coef_cr[y0 >> 1:(y0 >> 1) + half,
+                               x0 >> 1:(x0 >> 1) + half]
+            st = scanlib.scan_type_for(luma_mode, half, False)
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=False,
+                                   scan_type=st)

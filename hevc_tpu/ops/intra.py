@@ -35,11 +35,11 @@ INTRA_ANGLES = {
     19: -26, 20: -21, 21: -17, 22: -13, 23: -9, 24: -5, 25: -2, 26: 0,
     27: 2, 28: 5, 29: 9, 30: 13, 31: 17, 32: 21, 33: 26, 34: 32,
 }
-# Mode -> inverse angle (8192*32/angle, Table 8-5; modes 11..25 only).
+# Mode -> inverse angle (round(8192/|angle|), Table 8-5; modes 11..25 only).
 INV_ANGLES = {
-    11: -4096, 12: -1638, 13: -819, 14: -546, 15: -427, 16: -315, 17: -256,
-    18: -256, 19: -256,  # 18/19 listed for completeness; projection uses 11..25
-    20: -315, 21: -427, 22: -546, 23: -819, 24: -1638, 25: -4096,
+    11: -4096, 12: -1638, 13: -910, 14: -630, 15: -482, 16: -390, 17: -315,
+    18: -256, 19: -315, 20: -390, 21: -482, 22: -630, 23: -910, 24: -1638,
+    25: -4096,
 }
 PLANAR, DC, HOR, VER = 0, 1, 10, 26
 
