@@ -49,7 +49,8 @@ def ref_filter_flag(mode: int, n: int) -> bool:
     if mode == DC or n == 4:
         return False
     min_dist = min(abs(mode - HOR), abs(mode - VER))
-    thres = {8: 7, 16: 1, 32: 0}[n]
+    # n=64 only occurs in 64x64 PB *search* (TUs are <=32); treat like 32.
+    thres = {8: 7, 16: 1, 32: 0, 64: 0}[n]
     return min_dist > thres
 
 

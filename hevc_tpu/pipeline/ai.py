@@ -1,0 +1,103 @@
+"""All-Intra encoder pipeline: ETH-CNN HCPM -> TPU search -> coding -> CABAC.
+
+Replaces the reference's file-based handoff (video_to_cu_depth.py ->
+cu_depth.dat -> TEncCu HCPM gating) with on-device tensors: the predictor
+and the partition search run in one jitted program per frame; the
+normative reconstruction currently runs through the golden path while the
+wavefront TPU reconstruction lands (pipeline/golden.py docstring).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.yuv import pad_frame
+from ..entropy import headers
+from ..entropy.slice_enc import SliceEncoder
+from ..models import eth_cnn, hcpm
+from . import golden, search
+
+
+class AIEncoder:
+    def __init__(self, cfg: headers.EncoderConfig,
+                 cnn_params=None,
+                 thresholds: Optional[hcpm.Thresholds] = None):
+        self.cfg = cfg
+        self.cnn_params = cnn_params
+        self.thr = thresholds or hcpm.DEFAULT_AI
+        self.golden = golden.GoldenEncoder(cfg)
+        self._search_jit = jax.jit(
+            lambda y, orig, probs: search.search_frame(
+                y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=probs,
+                thr_up=self.thr.up, thr_down=self.thr.down))
+        self._search_jit_nogate = jax.jit(
+            lambda y, orig: search.search_frame(
+                y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=None))
+        self._origins = jnp.asarray(
+            search.ctu_grid(cfg.pad_width, cfg.pad_height))
+
+    def predict_hcpm(self, y_pad: np.ndarray):
+        """ETH-CNN inference over the frame's CTUs -> [B, 21] probs."""
+        from ..core.yuv import extract_ctus
+        ctus = extract_ctus(y_pad)
+        qp = jnp.full((ctus.shape[0],), float(self.cfg.qp), jnp.float32)
+        return eth_cnn.apply_jit(self.cnn_params, jnp.asarray(ctus), qp,
+                                 self.thr.l1_lower, self.thr.l2_lower)
+
+    def decide_frame(self, y_pad: np.ndarray):
+        """Run (CNN +) search; returns frame-level depth8/modes8 maps."""
+        y = jnp.asarray(y_pad)
+        if self.cnn_params is not None:
+            probs = self.predict_hcpm(y_pad)
+            res = self._search_jit(y, self._origins, probs)
+        else:
+            res = self._search_jit_nogate(y, self._origins)
+        return self._assemble(res)
+
+    def _assemble(self, res: search.SearchResult):
+        cfg = self.cfg
+        nx, ny = cfg.ctus_x, cfg.ctus_y
+        d = np.asarray(res.depth8).reshape(ny, nx, 8, 8)
+        m = np.asarray(res.modes8).reshape(ny, nx, 8, 8)
+        d = d.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+        m = m.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+        h8, w8 = cfg.pad_height // 8, cfg.pad_width // 8
+        return d[:h8, :w8].astype(np.int32), m[:h8, :w8].astype(np.int32)
+
+    def encode(self, frames, with_hash_sei: bool = True):
+        """Encode a sequence; returns (annexb bytes, recons, stats)."""
+        cfg = self.cfg
+        chunks = [headers.write_vps(cfg), headers.write_sps(cfg),
+                  headers.write_pps(cfg)]
+        recons = []
+        stats = {"decide_s": 0.0, "recon_s": 0.0, "entropy_s": 0.0}
+        for frame in frames:
+            pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
+            t0 = time.perf_counter()
+            depth8, modes8 = self.decide_frame(pf.y)
+            t1 = time.perf_counter()
+            decisions, recon = self.golden.encode_frame(pf, depth8, modes8)
+            t2 = time.perf_counter()
+            bw = headers.start_idr_slice(cfg, cfg.qp)
+            se = SliceEncoder(cfg, cfg.qp)
+            se.encode(bw, decisions["depth8"], decisions["modes8"],
+                      decisions["coef_y"], decisions["coef_cb"],
+                      decisions["coef_cr"])
+            chunks.append(headers.finish_slice_nal(bw))
+            if with_hash_sei:
+                chunks.append(headers.write_hash_sei(
+                    golden.md5_plane(recon.y), golden.md5_plane(recon.cb),
+                    golden.md5_plane(recon.cr)))
+            t3 = time.perf_counter()
+            stats["decide_s"] += t1 - t0
+            stats["recon_s"] += t2 - t1
+            stats["entropy_s"] += t3 - t2
+            recons.append(recon)
+        return b"".join(chunks), recons, stats

@@ -1,0 +1,191 @@
+"""Batched All-Intra mode/partition search on TPU.
+
+Phase A of the AI pipeline: for every CTU of a frame *in parallel*,
+evaluate all 35 intra modes at every CU node of the quadtree (1 + 4 + 16
++ 64 nodes) against original-pixel references, reduce to per-node best
+modes by SATD, then decide the CU tree bottom-up — with ETH-CNN HCPM
+probabilities gating the split decisions exactly like the reference's
+three-way rule (TEncCu.cpp:419-463, re-expressed as masks).
+
+Everything is jit-compiled with static shapes; there is no sequential
+dependency because search predictions use original pixels (the normative
+reconstruction path recomputes prediction from reconstructed samples).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import hcpm as hcpm_lib
+from ..ops import cost, intra, refs
+
+
+class SearchResult(NamedTuple):
+    depth8: jax.Array    # [B, 8, 8] int32 depth of each 8x8 unit
+    modes8: jax.Array    # [B, 8, 8] int32 luma mode of each 8x8 unit
+    split0: jax.Array    # [B] bool
+    split1: jax.Array    # [B, 2, 2] bool
+    split2: jax.Array    # [B, 4, 4] bool
+
+
+@functools.lru_cache(maxsize=None)
+def _node_offsets(depth: int):
+    """Raster-ordered (x, y) offsets of the 4^depth nodes at a depth."""
+    n = 1 << depth
+    size = 64 >> depth
+    ys, xs = np.mgrid[0:n, 0:n]
+    return (xs.reshape(-1) * size).astype(np.int32), \
+        (ys.reshape(-1) * size).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _filter_mask(n: int) -> np.ndarray:
+    return np.array([intra.ref_filter_flag(m, n) for m in range(35)],
+                    bool)
+
+
+def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
+    """For all CTUs x all nodes at `depth`: best mode + SATD.
+
+    Returns (best_mode [B, nd], best_satd [B, nd]) with nd = 4^depth.
+    """
+    B = ctu_origins.shape[0]
+    size = 64 >> depth
+    offx, offy = _node_offsets(depth)
+    nd = offx.shape[0]
+    origins = (ctu_origins[:, None, :]
+               + jnp.stack([jnp.asarray(offx), jnp.asarray(offy)], -1)[None]
+               ).reshape(B * nd, 2)
+
+    r = refs.prepare_refs(y_plane, origins, size, pad_w, pad_h, n_ctu_x)
+    rf = intra.filter_refs(r)
+    preds_u = intra.predict_all_modes(r, size, component="luma")
+    preds_f = intra.predict_all_modes(rf, size, component="luma")
+    fmask = jnp.asarray(_filter_mask(size))
+    preds = jnp.where(fmask[None, :, None, None], preds_f, preds_u)
+
+    # original blocks
+    h, w = y_plane.shape
+    ys = jnp.clip(origins[:, 1:2, None] + jnp.arange(size)[None, :, None],
+                  0, h - 1)
+    xs = jnp.clip(origins[:, 0:1, None] + jnp.arange(size)[None, None, :],
+                  0, w - 1)
+    orig = jnp.take(y_plane.reshape(-1), ys * w + xs, axis=0
+                    ).astype(jnp.int32)
+
+    block = 4 if size == 4 else 8
+    satds = cost.satd(orig[:, None], preds, block=block)  # [B*nd, 35]
+    best_mode = jnp.argmin(satds, axis=1).astype(jnp.int32)
+    best_satd = jnp.min(satds, axis=1)
+    return (best_mode.reshape(B, nd), best_satd.reshape(B, nd))
+
+
+def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
+                 hcpm_probs: Optional[jax.Array] = None,
+                 thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1)):
+    """Run the partition/mode search for all CTUs of one frame.
+
+    y_plane: [pad_h, pad_w] luma (uint8/int32).
+    ctu_origins: [B, 2] (x, y) top-left of each CTU.
+    hcpm_probs: [B, 21] ETH-CNN outputs, or None (no gating: thresholds
+      default to always-check-both, i.e. pure search — used for label
+      extraction).
+    Returns SearchResult.
+    """
+    B = ctu_origins.shape[0]
+    y_plane = jnp.asarray(y_plane)
+    lam_sqrt = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+
+    modes = {}
+    satds = {}
+    for d in range(4):
+        m, s = _best_mode_per_node(y_plane, ctu_origins, d, pad_w, pad_h,
+                                   n_ctu_x)
+        modes[d] = m
+        satds[d] = s.astype(jnp.float32)
+
+    # per-CU overhead in SATD-cost units: mode (~5.5 bits) + flags (~4)
+    ovh = lam_sqrt * 9.5
+    cost3 = satds[3].reshape(B, 8, 8) + ovh
+    cost2 = satds[2].reshape(B, 4, 4) + ovh
+    cost1 = satds[1].reshape(B, 2, 2) + ovh
+    cost0 = satds[0].reshape(B, 1, 1) + ovh
+
+    # forced splits: CU crossing the padded-frame boundary must split
+    def forced_split(depth):
+        size = 64 >> depth
+        offx, offy = _node_offsets(depth)
+        gx = ctu_origins[:, 0:1] + jnp.asarray(offx)[None]
+        gy = ctu_origins[:, 1:2] + jnp.asarray(offy)[None]
+        n = 1 << depth
+        inside = (gx + size <= pad_w) & (gy + size <= pad_h)
+        started = (gx < pad_w) & (gy < pad_h)
+        return (~inside & started).reshape(B, n, n)
+
+    if hcpm_probs is not None:
+        thr = hcpm_lib.Thresholds(up=tuple(thr_up), down=tuple(thr_down))
+        chk_cur, chk_split = hcpm_lib.split_gates(hcpm_probs, thr)
+        cur0, split_ok0 = chk_cur[:, 0], chk_split[:, 0]
+        cur1 = chk_cur[:, 1:5].reshape(B, 2, 2)
+        split_ok1 = chk_split[:, 1:5].reshape(B, 2, 2)
+        cur2 = chk_cur[:, 5:21].reshape(B, 4, 4)
+        split_ok2 = chk_split[:, 5:21].reshape(B, 4, 4)
+    else:
+        tr = lambda *s: jnp.ones(s, bool)
+        cur0, split_ok0 = tr(B), tr(B)
+        cur1 = split_ok1 = tr(B, 2, 2)
+        cur2 = split_ok2 = tr(B, 4, 4)
+
+    split_bits = lam_sqrt * 2.0
+
+    def pool4(c):
+        b, n, _ = c.shape
+        return c.reshape(b, n // 2, 2, n // 2, 2).sum((2, 4))
+
+    # level 2 (16 -> 8)
+    sub3 = pool4(cost3) + split_bits
+    f2 = forced_split(2)
+    choose2 = f2 | (split_ok2 & (~cur2 | (sub3 < cost2)))
+    best2 = jnp.where(choose2, sub3, cost2)
+    # level 1 (32 -> 16)
+    sub2 = pool4(best2) + split_bits
+    f1 = forced_split(1)
+    choose1 = f1 | (split_ok1 & (~cur1 | (sub2 < cost1)))
+    best1 = jnp.where(choose1, sub2, cost1)
+    # level 0 (64 -> 32)
+    sub1 = pool4(best1) + split_bits
+    f0 = forced_split(0).reshape(B)
+    choose0 = f0 | (split_ok0 & (~cur0 | (sub1[:, 0, 0] < cost0[:, 0, 0])))
+
+    split0 = choose0
+    split1 = choose1 & split0[:, None, None]
+    split2 = choose2 & jnp.repeat(jnp.repeat(split1, 2, 1), 2, 2)
+
+    depth4 = hcpm_lib.depth_map_from_decisions(split0, split1, split2)
+    depth8 = jnp.repeat(jnp.repeat(depth4, 2, 1), 2, 2)  # [B, 8, 8]
+
+    # scatter modes: per 8x8 unit pick by its depth
+    m0 = jnp.broadcast_to(modes[0].reshape(B, 1, 1), (B, 8, 8))
+    m1 = jnp.repeat(jnp.repeat(modes[1].reshape(B, 2, 2), 4, 1), 4, 2)
+    m2 = jnp.repeat(jnp.repeat(modes[2].reshape(B, 4, 4), 2, 1), 2, 2)
+    m3 = modes[3].reshape(B, 8, 8)
+    stacked = jnp.stack([m0, m1, m2, m3], axis=-1)
+    modes8 = jnp.take_along_axis(stacked, depth8[..., None],
+                                 axis=-1)[..., 0]
+
+    return SearchResult(depth8=depth8, modes8=modes8, split0=split0,
+                        split1=split1, split2=split2)
+
+
+def ctu_grid(pad_w: int, pad_h: int, ctu: int = 64):
+    """[B, 2] raster-ordered CTU origins for a padded frame."""
+    nx = -(-pad_w // ctu)
+    ny = -(-pad_h // ctu)
+    ys, xs = np.mgrid[0:ny, 0:nx]
+    return np.stack([xs.reshape(-1) * ctu, ys.reshape(-1) * ctu],
+                    -1).astype(np.int32)
