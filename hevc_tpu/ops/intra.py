@@ -286,3 +286,59 @@ def predict_all_modes(r, n, *, component="luma", bit_depth=8):
 def predict_mode(r, mode, n, **kw):
     """Single-mode convenience wrapper over predict_all_modes tables."""
     return predict_all_modes(r, n, **kw)[:, mode]
+
+
+def predict_one_mode(r, mode, n, *, component="luma", bit_depth=8):
+    """Predict one block for a *traced* mode scalar.
+
+    r: [4n+1] int32 substituted refs (already filtered appropriately by the
+    caller — see select_filtered). mode: int32 scalar (0..34).
+    Returns [n, n] int32. Used by the reconstruction pipeline where the
+    mode is data-dependent (chosen by the search phase).
+    """
+    r = jnp.asarray(r, jnp.int32)
+    log2n = int(n).bit_length() - 1
+    left = r[2 * n - 1::-1]
+    top = r[2 * n + 1:]
+    corner = r[2 * n]
+    maxv = (1 << bit_depth) - 1
+
+    i0s, i1s, fas = _all_mode_tables(n)
+    midx = jnp.clip(mode - 2, 0, 32)
+    i0 = jnp.take(jnp.asarray(i0s.reshape(33, -1)), midx, axis=0)
+    i1 = jnp.take(jnp.asarray(i1s.reshape(33, -1)), midx, axis=0)
+    fa = jnp.take(jnp.asarray(fas.reshape(33, -1)), midx, axis=0)
+    p0 = jnp.take(r, i0).reshape(n, n)
+    p1 = jnp.take(r, i1).reshape(n, n)
+    fa = fa.reshape(n, n)
+    ang = ((32 - fa) * p0 + fa * p1 + 16) >> 5
+
+    xs = jnp.arange(n)
+    T = top[:n]
+    Lf = left[:n]
+    pl = ((n - 1 - xs)[None, :] * Lf[:, None]
+          + (xs + 1)[None, :] * top[n]
+          + (n - 1 - xs)[:, None] * T[None, :]
+          + (xs + 1)[:, None] * left[n]
+          + n) >> (log2n + 1)
+
+    dc = (T.sum() + Lf.sum() + n) >> (log2n + 1)
+    dcp = jnp.full((n, n), dc, jnp.int32)
+    if component == "luma" and n < 32:
+        dcp = dcp.at[0, :].set((T + 3 * dc + 2) >> 2)
+        dcp = dcp.at[:, 0].set((Lf + 3 * dc + 2) >> 2)
+        dcp = dcp.at[0, 0].set((Lf[0] + 2 * dc + T[0] + 2) >> 2)
+        ver_col = jnp.clip(top[0] + ((Lf - corner) >> 1), 0, maxv)
+        hor_row = jnp.clip(left[0] + ((T - corner) >> 1), 0, maxv)
+        ang = jnp.where(mode == VER, ang.at[:, 0].set(ver_col), ang)
+        ang = jnp.where(mode == HOR, ang.at[0, :].set(hor_row), ang)
+
+    out = jnp.where(mode == PLANAR, pl, jnp.where(mode == DC, dcp, ang))
+    return out
+
+
+def select_filtered(r, rf, mode, n):
+    """Choose filtered vs unfiltered refs for a traced mode (luma)."""
+    fmask = jnp.asarray(
+        np.array([ref_filter_flag(m, n) for m in range(35)], bool))
+    return jnp.where(jnp.take(fmask, mode), rf, r)

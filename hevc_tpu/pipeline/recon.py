@@ -1,0 +1,256 @@
+"""TPU wavefront reconstruction (phase B of the AI pipeline).
+
+Computes the normative reconstruction + quantized coefficients for a whole
+frame on device. Intra prediction needs reconstructed neighbours, which
+serializes CTUs along raster order — the TPU formulation is the WPP-style
+wavefront: CTUs on the anti-diagonal d = ctu_x + 2*ctu_y are independent
+(left, above and above-right neighbours all lie on earlier diagonals), so
+each lax.scan step vmaps the per-CTU coding over one diagonal's lanes.
+
+Inside a CTU, the 85 quadtree nodes (1+4+16+64, DFS pre-order = coding
+order) are a lax.scan with a 4-way lax.switch on CU size; each branch
+runs predict -> DCT -> quant -> dequant -> IDCT -> recon with static
+shapes on an extended local tile (interior + context row/column).
+
+Parity oracle: pipeline/golden.py (sequential NumPy, HM-decoder-verified).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import intra, quant, refs, transforms
+
+
+class FramePlanes(NamedTuple):
+    recon_y: jax.Array
+    recon_cb: jax.Array
+    recon_cr: jax.Array
+    coef_y: jax.Array
+    coef_cb: jax.Array
+    coef_cr: jax.Array
+
+
+@functools.lru_cache(maxsize=None)
+def node_table():
+    """(depth_class, x0, y0) of the 85 quadtree nodes, DFS pre-order."""
+    nodes = []
+
+    def rec(d, x, y):
+        nodes.append((d, x, y))
+        if d < 3:
+            h = 64 >> (d + 1)
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                rec(d + 1, x + dx, y + dy)
+
+    rec(0, 0, 0)
+    return np.array(nodes, np.int32)
+
+
+def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
+             component, g_origin, pad_w, pad_h, n_ctu_x, scale):
+    """Code one TB inside the extended tile [2S+1, 2S+1] (interior at
+    [1:S+1, 1:S+1], context in row 0 / col 0). Returns (ext, coef)."""
+    left_col = jax.lax.dynamic_slice(ext, (y0 + 1, x0), (2 * n, 1))[:, 0]
+    top_row = jax.lax.dynamic_slice(ext, (y0, x0), (1, 2 * n + 1))[0]
+    r = jnp.concatenate([left_col[::-1], top_row])  # [4n+1] linear layout
+
+    origin = (g_origin + jnp.stack([x0, y0]))[None]
+    avail = refs.availability(origin, n, pad_w, pad_h, n_ctu_x, scale)[0]
+    r = intra.substitute_refs(r[None], avail[None])[0]
+
+    if component == "luma":
+        r_use = intra.select_filtered(r, intra.filter_refs(r), mode, n)
+    else:
+        r_use = r
+
+    pred = intra.predict_one_mode(r_use, mode, n, component=component)
+    orig = jax.lax.dynamic_slice(orig_tile, (y0, x0), (n, n))
+    resi = orig.astype(jnp.int32) - pred
+    lvl = quant.quantize(transforms.forward_transform(resi), qp)
+    rresi = transforms.inverse_transform(quant.dequantize(lvl, qp))
+    rec = jnp.clip(pred + rresi, 0, 255)
+
+    old_coef = jax.lax.dynamic_slice(coef, (y0, x0), (n, n))
+    coef = jax.lax.dynamic_update_slice(
+        coef, jnp.where(leaf, lvl, old_coef), (y0, x0))
+    old_rec = jax.lax.dynamic_slice(ext, (y0 + 1, x0 + 1), (n, n))
+    ext = jax.lax.dynamic_update_slice(
+        ext, jnp.where(leaf, rec, old_rec), (y0 + 1, x0 + 1))
+    return ext, coef
+
+
+def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
+             depth8_t, modes8_t, g_origin, *, qp, cqp, pad_w, pad_h,
+             n_ctu_x):
+    """Code one CTU. ctx_*: (top [2S], left [S], corner scalar) tuples.
+    Returns (rec_y [64,64], rec_cb, rec_cr, coef_y, coef_cb, coef_cr)."""
+
+    def make_ext(S, ctx):
+        top, left, corner = ctx
+        ext = jnp.zeros((2 * S + 1, 2 * S + 1), jnp.int32)
+        ext = ext.at[0, 0].set(corner)
+        ext = ext.at[0, 1:2 * S + 1].set(top)
+        ext = ext.at[1:S + 1, 0].set(left)
+        return ext
+
+    carry0 = (make_ext(64, ctx_y), make_ext(32, ctx_cb),
+              make_ext(32, ctx_cr), jnp.zeros((64, 64), jnp.int32),
+              jnp.zeros((32, 32), jnp.int32), jnp.zeros((32, 32), jnp.int32))
+
+    def branch_fn(size, carry, x0, y0, leaf, mode):
+        ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr = carry
+        g_chroma = g_origin // 2
+        ckw = dict(component="chroma", g_origin=g_chroma, pad_w=pad_w // 2,
+                   pad_h=pad_h // 2, n_ctu_x=n_ctu_x, scale=2)
+        lkw = dict(component="luma", g_origin=g_origin, pad_w=pad_w,
+                   pad_h=pad_h, n_ctu_x=n_ctu_x, scale=1)
+        if size == 64:
+            for (dx, dy) in ((0, 0), (32, 0), (0, 32), (32, 32)):
+                ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t,
+                                         x0 + dx, y0 + dy, 32, mode, leaf,
+                                         qp, **lkw)
+            for (dx, dy) in ((0, 0), (16, 0), (0, 16), (16, 16)):
+                cx, cy = (x0 >> 1) + dx, (y0 >> 1) + dy
+                ext_cb, coef_cb = _code_tu(ext_cb, coef_cb, orig_cb_t,
+                                           cx, cy, 16, mode, leaf, cqp,
+                                           **ckw)
+                ext_cr, coef_cr = _code_tu(ext_cr, coef_cr, orig_cr_t,
+                                           cx, cy, 16, mode, leaf, cqp,
+                                           **ckw)
+        else:
+            ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t, x0, y0,
+                                     size, mode, leaf, qp, **lkw)
+            half = size >> 1
+            ext_cb, coef_cb = _code_tu(ext_cb, coef_cb, orig_cb_t,
+                                       x0 >> 1, y0 >> 1, half, mode, leaf,
+                                       cqp, **ckw)
+            ext_cr, coef_cr = _code_tu(ext_cr, coef_cr, orig_cr_t,
+                                       x0 >> 1, y0 >> 1, half, mode, leaf,
+                                       cqp, **ckw)
+        return (ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr)
+
+    def body(carry, node):
+        d, x0, y0 = node[0], node[1], node[2]
+        leaf = depth8_t[y0 >> 3, x0 >> 3] == d
+        mode = modes8_t[y0 >> 3, x0 >> 3]
+        carry = jax.lax.switch(
+            d, [functools.partial(branch_fn, 64 >> k) for k in range(4)],
+            carry, x0, y0, leaf, mode)
+        return carry, None
+
+    carry, _ = jax.lax.scan(body, carry0, jnp.asarray(node_table()))
+    ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr = carry
+    return (ext_y[1:65, 1:65], ext_cb[1:33, 1:33], ext_cr[1:33, 1:33],
+            coef_y, coef_cb, coef_cr)
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_lanes(nx, ny):
+    """Wavefront schedule arrays: (cxs, cys, active) [n_diag, wmax]."""
+    n_diag = (nx - 1) + 2 * (ny - 1) + 1
+    per_diag = [[(d - 2 * cy, cy) for cy in range(ny)
+                 if 0 <= d - 2 * cy < nx] for d in range(n_diag)]
+    wmax = max(len(p) for p in per_diag)
+    cxs = np.zeros((n_diag, wmax), np.int32)
+    cys = np.zeros((n_diag, wmax), np.int32)
+    act = np.zeros((n_diag, wmax), bool)
+    for d, lanes in enumerate(per_diag):
+        for i, (cx, cy) in enumerate(lanes):
+            cxs[d, i], cys[d, i], act[d, i] = cx, cy, True
+    return cxs, cys, act
+
+
+def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
+                        qp: int, pad_w: int, pad_h: int) -> FramePlanes:
+    """Jittable whole-frame normative reconstruction + coefficients."""
+    nx, ny = pad_w // 64, pad_h // 64
+    cqp = quant.chroma_qp(qp)
+    cxs, cys, act = _diag_lanes(nx, ny)
+
+    orig_y = jnp.asarray(orig_y, jnp.int32)
+    orig_cb = jnp.asarray(orig_cb, jnp.int32)
+    orig_cr = jnp.asarray(orig_cr, jnp.int32)
+    depth8 = jnp.asarray(depth8, jnp.int32)
+    modes8 = jnp.asarray(modes8, jnp.int32)
+
+    planes = FramePlanes(
+        recon_y=jnp.zeros((pad_h, pad_w), jnp.int32),
+        recon_cb=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
+        recon_cr=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
+        coef_y=jnp.zeros((pad_h, pad_w), jnp.int32),
+        coef_cb=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
+        coef_cr=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
+    )
+
+    def diag_step(planes, diag):
+        cx_l, cy_l, act_l = diag
+        # 1-sample top/left border (+ tile-size bottom/right slack) so all
+        # context reads are exact dynamic slices.
+        pry = jnp.pad(planes.recon_y, ((1, 64), (1, 64)))
+        prcb = jnp.pad(planes.recon_cb, ((1, 32), (1, 32)))
+        prcr = jnp.pad(planes.recon_cr, ((1, 32), (1, 32)))
+
+        def lane(cx, cy):
+            ox, oy = cx * 64, cy * 64
+            oxc, oyc = ox // 2, oy // 2
+
+            def ctx(pp, o_y, o_x, S):
+                top = jax.lax.dynamic_slice(pp, (o_y, o_x + 1),
+                                            (1, 2 * S))[0]
+                left = jax.lax.dynamic_slice(pp, (o_y + 1, o_x),
+                                             (S, 1))[:, 0]
+                corner = jax.lax.dynamic_slice(pp, (o_y, o_x), (1, 1))[0, 0]
+                return (top, left, corner)
+
+            return code_ctu(
+                jax.lax.dynamic_slice(orig_y, (oy, ox), (64, 64)),
+                jax.lax.dynamic_slice(orig_cb, (oyc, oxc), (32, 32)),
+                jax.lax.dynamic_slice(orig_cr, (oyc, oxc), (32, 32)),
+                ctx(pry, oy, ox, 64), ctx(prcb, oyc, oxc, 32),
+                ctx(prcr, oyc, oxc, 32),
+                jax.lax.dynamic_slice(depth8, (cy * 8, cx * 8), (8, 8)),
+                jax.lax.dynamic_slice(modes8, (cy * 8, cx * 8), (8, 8)),
+                jnp.stack([ox, oy]),
+                qp=qp, cqp=cqp, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx)
+
+        outs = jax.vmap(lane)(cx_l, cy_l)
+        rec_y_t, rec_cb_t, rec_cr_t, cf_y_t, cf_cb_t, cf_cr_t = outs
+
+        def scatter(plane, tiles, s):
+            W = plane.shape[1]
+            ys = (cy_l * s)[:, None, None] + jnp.arange(s)[None, :, None]
+            xs = (cx_l * s)[:, None, None] + jnp.arange(s)[None, None, :]
+            flat_idx = (ys * W + xs).reshape(-1)
+            keep = jnp.repeat(act_l, s * s)
+            # inactive lanes: out-of-bounds index -> dropped by scatter
+            flat_idx = jnp.where(keep, flat_idx, plane.size)
+            return plane.reshape(-1).at[flat_idx].set(
+                tiles.reshape(-1), mode="drop").reshape(plane.shape)
+
+        planes = FramePlanes(
+            recon_y=scatter(planes.recon_y, rec_y_t, 64),
+            recon_cb=scatter(planes.recon_cb, rec_cb_t, 32),
+            recon_cr=scatter(planes.recon_cr, rec_cr_t, 32),
+            coef_y=scatter(planes.coef_y, cf_y_t, 64),
+            coef_cb=scatter(planes.coef_cb, cf_cb_t, 32),
+            coef_cr=scatter(planes.coef_cr, cf_cr_t, 32),
+        )
+        return planes, None
+
+    planes, _ = jax.lax.scan(
+        diag_step, planes,
+        (jnp.asarray(cxs), jnp.asarray(cys), jnp.asarray(act)))
+    return planes
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "pad_w", "pad_h"))
+def encode_frame_planes_jit(orig_y, orig_cb, orig_cr, depth8, modes8, *,
+                            qp, pad_w, pad_h):
+    return encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8,
+                               qp=qp, pad_w=pad_w, pad_h=pad_h)

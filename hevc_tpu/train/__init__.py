@@ -1,1 +1,1 @@
-from . import losses  # noqa: F401
+from . import dataset, labels, losses, train_cnn  # noqa: F401

@@ -1,0 +1,115 @@
+"""Ground-truth CU-depth label extraction.
+
+Two sources, mirroring the reference's pipeline (SURVEY.md 3.3):
+
+1. `extract_labels_own`: our full (ungated) SATD partition search — fast,
+   on-TPU, batched over frames. Matches our encoder's decision space.
+2. `extract_labels_hm`: drive the HM-16.5 Extract_Data encoder binary
+   (full RDO; behavioral source of the reference's AI_Info/LDP_Info label
+   dumps, HM TEncSlice.cpp:813-985) and parse its Info_*_CUDepth.dat
+   output: 1 byte per 16x16 unit per frame, frame-major raster.
+
+Label semantics (reference TEncSlice.cpp:880-888): depth 0..3 at 16x16
+granularity; the 4x4 map per CTU feeds the pool/ReLU level decomposition.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+from ..core.yuv import write_yuv420
+from ..evaltools.hm import ENCODER as HM_ENCODER
+
+
+def extract_labels_own(frames, qp: int, width: int, height: int):
+    """[F, ceil(h/16), ceil(w/16)] uint8 depth labels from our search."""
+    from ..entropy import headers
+    from ..pipeline.ai import AIEncoder
+    from ..core.yuv import pad_frame
+
+    cfg = headers.EncoderConfig(width=width, height=height, qp=qp)
+    enc = AIEncoder(cfg)
+    out = []
+    for f in frames:
+        pf = pad_frame(f, cfg.pad_width, cfg.pad_height)
+        d8, _ = enc.decide_frame(pf.y)
+        out.append(d8[::2, ::2].astype(np.uint8))
+    return np.stack(out)
+
+
+def hm_intra_cfg(width, height, qp, n_frames):
+    """Minimal HM all-intra config (mirrors encoder_intra_main.cfg's
+    operating point: CTU 64, depth 4, TU 4..32, IntraPeriod 1)."""
+    return f"""
+InputBitDepth: 8
+FrameRate: 30
+FrameSkip: 0
+SourceWidth: {width}
+SourceHeight: {height}
+FramesToBeEncoded: {n_frames}
+Profile: main
+IntraPeriod: 1
+DecodingRefreshType: 1
+GOPSize: 1
+MaxCUWidth: 64
+MaxCUHeight: 64
+MaxPartitionDepth: 4
+QuadtreeTULog2MaxSize: 5
+QuadtreeTULog2MinSize: 2
+QuadtreeTUMaxDepthInter: 3
+QuadtreeTUMaxDepthIntra: 3
+QP: {qp}
+TransformSkip: 0
+TransformSkipFast: 0
+SAO: 1
+AMP: 1
+RDOQ: 1
+RDOQTS: 1
+RateControl: 0
+LoopFilterOffsetInPPS: 0
+LoopFilterDisable: 0
+SEIDecodedPictureHash: 1
+InternalBitDepth: 8
+"""
+
+
+def extract_labels_hm(frames, qp: int, width: int, height: int,
+                      workdir: str = None, timeout: int = 1800):
+    """Run the HM Extract_Data encoder; parse its CU-depth dumps.
+
+    Returns [F, ceil(h/16)*? , ...] — HM dumps ceil dims in 16x16 units of
+    the padded frame.
+    """
+    assert os.path.exists(HM_ENCODER), "build tools/hm first"
+    own_tmp = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="hm_extract_")
+    yuv = os.path.join(workdir, "in.yuv")
+    write_yuv420(yuv, frames)
+    cfg_path = os.path.join(workdir, "enc.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(hm_intra_cfg(width, height, qp, len(frames)))
+    proc = subprocess.run(
+        [HM_ENCODER, "-c", cfg_path, "-i", "in.yuv", "-b", "str.bin",
+         "-o", "rec.yuv"],
+        cwd=workdir, capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(f"HM encoder failed:\n{proc.stdout}\n{proc.stderr}")
+    depth_files = sorted(glob.glob(os.path.join(workdir, "*_CUDepth.dat")))
+    if not depth_files:
+        raise RuntimeError(f"no CUDepth dump found in {workdir}")
+    data = np.fromfile(depth_files[-1], np.uint8)
+    # HM dumps floor(internalDim/16) units (only fully-inside 16x16 units;
+    # internal dims are the source padded to min-CU=8 multiples) — see
+    # reference TEncSlice.cpp:880-905 (fwrite of (iWidth/16)*(iHeight/16)).
+    pw = -(-width // 8) * 8
+    ph = -(-height // 8) * 8
+    w16, h16 = pw // 16, ph // 16
+    per_frame = w16 * h16
+    n = data.size // per_frame
+    labels = data[:n * per_frame].reshape(n, h16, w16)
+    return labels

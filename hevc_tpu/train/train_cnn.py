@@ -1,0 +1,141 @@
+"""ETH-CNN trainer (AI path).
+
+Recipe mirrors the reference (ETH-CNN_Training_AI/train_CNN_CTU64.py:38-52):
+SGD + momentum 0.9, LR 0.01 with x0.3163 staircase decay every 250k iters,
+batch 64, class-balanced masked hierarchical BCE, per-level accuracy +
+tendency metrics. Per-QP-band models (MODEL_TYPE 1-4 semantics) are just
+separate training runs over band-filtered data.
+
+TPU-first: the train step is one jitted pjit-able function; params and
+optimizer state are plain pytrees checkpointed with numpy .npz.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import eth_cnn
+from . import dataset, losses
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 0.01
+    momentum: float = 0.9
+    decay_rate: float = 0.3163
+    decay_steps: int = 250_000
+    batch_size: int = 64
+    iters: int = 10_000
+    eval_every: int = 1000
+    eval_batch: int = 512
+    seed: int = 0
+    log: bool = True
+
+
+def make_train_step(tx):
+    @jax.jit
+    def step(params, opt_state, luma, qp, depth4, rng):
+        def loss_fn(p):
+            probs = eth_cnn.apply(p, luma, qp, early_exit="none",
+                                  dropout_rng=rng)
+            total, aux = losses.hierarchical_loss(probs, depth4)
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return step
+
+
+@jax.jit
+def eval_step(params, luma, qp, depth4):
+    probs = eth_cnn.apply(params, luma, qp, early_exit="none")
+    total, aux = losses.hierarchical_loss(probs, depth4)
+    return total, aux
+
+
+def train(luma, qp, depth4, cfg: TrainConfig,
+          params=None, valid=None):
+    """Train ETH-CNN on (luma [N,64,64], qp [N], depth4 [N,4,4]).
+
+    Returns (params, history list of dicts).
+    """
+    rng = np.random.RandomState(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        params = eth_cnn.init_params(key)
+
+    sched = optax.exponential_decay(cfg.lr, cfg.decay_steps, cfg.decay_rate,
+                                    staircase=True)
+    tx = optax.sgd(learning_rate=sched, momentum=cfg.momentum)
+    opt_state = tx.init(params)
+    step_fn = make_train_step(tx)
+
+    history = []
+    t0 = time.time()
+    gen = dataset.batches(luma, qp, depth4, cfg.batch_size, rng, cfg.iters)
+    for it, (bl, bq, bd) in enumerate(gen):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, jnp.asarray(bl), jnp.asarray(bq),
+            jnp.asarray(bd), sub)
+        if (it + 1) % cfg.eval_every == 0 or it == cfg.iters - 1:
+            ev_src = valid if valid is not None else (luma, qp, depth4)
+            idx = rng.randint(0, ev_src[0].shape[0],
+                              min(cfg.eval_batch, ev_src[0].shape[0]))
+            vloss, vaux = eval_step(params,
+                                    jnp.asarray(ev_src[0][idx]),
+                                    jnp.asarray(ev_src[1][idx].astype(
+                                        np.float32)),
+                                    jnp.asarray(ev_src[2][idx].astype(
+                                        np.float32)))
+            rec = {"iter": it + 1, "train_loss": float(loss),
+                   "valid_loss": float(vloss),
+                   "acc_64": float(vaux["acc_64"]),
+                   "acc_32": float(vaux["acc_32"]),
+                   "acc_16": float(vaux["acc_16"]),
+                   "elapsed_s": time.time() - t0}
+            history.append(rec)
+            if cfg.log:
+                print(f"it {rec['iter']}: loss {rec['train_loss']:.4f} "
+                      f"valid {rec['valid_loss']:.4f} acc "
+                      f"{rec['acc_64']:.3f}/{rec['acc_32']:.3f}/"
+                      f"{rec['acc_16']:.3f}")
+    return params, history
+
+
+def save_params(path, params):
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_params(path):
+    z = np.load(path)
+    return {k: jnp.asarray(z[k]) for k in z.files}
+
+
+QP_BANDS = {
+    # reference video_to_cu_depth.py:126-133 QP-banded model selection
+    "qp20~25": range(20, 25),
+    "qp25~30": range(25, 30),
+    "qp30~35": range(30, 35),
+    "qp35~40": range(35, 52),
+}
+
+
+def band_for_qp(qp: int) -> str:
+    if qp < 25:
+        return "qp20~25"
+    if qp < 30:
+        return "qp25~30"
+    if qp < 35:
+        return "qp30~35"
+    return "qp35~40"

@@ -1,0 +1,79 @@
+"""Training stack tests: labels, dataset formats, CNN training dynamics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hevc_tpu.train import dataset, labels, train_cnn
+from hevc_tpu.evaltools import hm
+
+from tests.test_e2e_bitstream import synth_frame
+
+
+def test_reference_sample_format_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    luma = rng.randint(0, 256, (10, 64, 64)).astype(np.uint8)
+    d22 = rng.randint(0, 4, (10, 4, 4)).astype(np.uint8)
+    d32 = rng.randint(0, 4, (10, 4, 4)).astype(np.uint8)
+    p = str(tmp_path / "samples.dat")
+    dataset.write_reference_samples(p, luma, {22: d22, 32: d32})
+    assert os.path.getsize(p) == 10 * dataset.SAMPLE_BYTES
+    luma2, by_qp = dataset.read_reference_samples(p)
+    np.testing.assert_array_equal(luma2, luma)
+    assert set(by_qp) == {22, 32}
+    np.testing.assert_array_equal(by_qp[22], d22)
+    np.testing.assert_array_equal(by_qp[32], d32)
+
+
+def test_own_label_extraction_shapes():
+    frames = [synth_frame(128, 96, seed=s) for s in range(2)]
+    lab = labels.extract_labels_own(frames, 32, 128, 96)
+    assert lab.shape == (2, 6, 8)
+    assert lab.max() <= 3
+
+
+@pytest.mark.skipif(not os.path.exists(hm.ENCODER),
+                    reason="HM encoder not built")
+def test_hm_label_extraction(tmp_path):
+    frames = [synth_frame(64, 64, seed=7)]
+    lab = labels.extract_labels_hm(frames, 32, 64, 64,
+                                   workdir=str(tmp_path))
+    assert lab.shape == (1, 4, 4)
+    assert lab.max() <= 3
+
+
+def test_cnn_training_learns(tmp_path):
+    """Tiny run: loss decreases and level-1 accuracy beats chance on a
+    learnable synthetic rule (flat patches -> depth 0, busy -> depth 3)."""
+    rng = np.random.RandomState(1)
+    n = 512
+    luma = np.zeros((n, 64, 64), np.uint8)
+    depth4 = np.zeros((n, 4, 4), np.uint8)
+    for i in range(n):
+        if i % 2 == 0:
+            luma[i] = rng.randint(0, 30)  # flat -> no split
+            depth4[i] = 0
+        else:
+            luma[i] = rng.randint(0, 256, (64, 64))  # noise -> full split
+            depth4[i] = 3
+    qp = np.full((n,), 32, np.uint8)
+
+    cfg = train_cnn.TrainConfig(iters=60, eval_every=30, batch_size=32,
+                                eval_batch=128, log=False, lr=0.003)
+    params, history = train_cnn.train(luma, qp, depth4, cfg)
+    assert len(history) >= 2
+    assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
+    assert history[-1]["acc_64"] > 0.75, history
+
+    p = str(tmp_path / "model.npz")
+    train_cnn.save_params(p, params)
+    params2 = train_cnn.load_params(p)
+    assert set(params2) == set(params)
+
+
+def test_qp_band_selection():
+    assert train_cnn.band_for_qp(22) == "qp20~25"
+    assert train_cnn.band_for_qp(27) == "qp25~30"
+    assert train_cnn.band_for_qp(32) == "qp30~35"
+    assert train_cnn.band_for_qp(37) == "qp35~40"
