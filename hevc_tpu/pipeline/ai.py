@@ -2,9 +2,9 @@
 
 Replaces the reference's file-based handoff (video_to_cu_depth.py ->
 cu_depth.dat -> TEncCu HCPM gating) with on-device tensors: the predictor
-and the partition search run in one jitted program per frame; the
-normative reconstruction currently runs through the golden path while the
-wavefront TPU reconstruction lands (pipeline/golden.py docstring).
+and the partition search run jitted per frame; the normative
+reconstruction runs on the TPU wavefront engine (pipeline/recon.py,
+bit-exact vs pipeline/golden.py); CABAC packs on host.
 """
 
 from __future__ import annotations
@@ -16,20 +16,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.yuv import pad_frame
+from ..core.yuv import Frame, pad_frame
 from ..entropy import headers
 from ..entropy.slice_enc import SliceEncoder
 from ..models import eth_cnn, hcpm
-from . import golden, search
+from . import golden, recon, search
 
 
 class AIEncoder:
     def __init__(self, cfg: headers.EncoderConfig,
                  cnn_params=None,
-                 thresholds: Optional[hcpm.Thresholds] = None):
+                 thresholds: Optional[hcpm.Thresholds] = None,
+                 recon_backend: str = "tpu"):
         self.cfg = cfg
         self.cnn_params = cnn_params
         self.thr = thresholds or hcpm.DEFAULT_AI
+        self.recon_backend = recon_backend
         self.golden = golden.GoldenEncoder(cfg)
         self._search_jit = jax.jit(
             lambda y, orig, probs: search.search_frame(
@@ -83,7 +85,7 @@ class AIEncoder:
             t0 = time.perf_counter()
             depth8, modes8 = self.decide_frame(pf.y)
             t1 = time.perf_counter()
-            decisions, recon = self.golden.encode_frame(pf, depth8, modes8)
+            decisions, rec = self.reconstruct(pf, depth8, modes8)
             t2 = time.perf_counter()
             bw = headers.start_idr_slice(cfg, cfg.qp)
             se = SliceEncoder(cfg, cfg.qp)
@@ -93,11 +95,29 @@ class AIEncoder:
             chunks.append(headers.finish_slice_nal(bw))
             if with_hash_sei:
                 chunks.append(headers.write_hash_sei(
-                    golden.md5_plane(recon.y), golden.md5_plane(recon.cb),
-                    golden.md5_plane(recon.cr)))
+                    golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
+                    golden.md5_plane(rec.cr)))
             t3 = time.perf_counter()
             stats["decide_s"] += t1 - t0
             stats["recon_s"] += t2 - t1
             stats["entropy_s"] += t3 - t2
-            recons.append(recon)
+            recons.append(rec)
         return b"".join(chunks), recons, stats
+
+    def reconstruct(self, pf, depth8, modes8):
+        """Normative reconstruction + coefficients (TPU wavefront by
+        default; 'golden' NumPy backend as oracle/fallback)."""
+        cfg = self.cfg
+        if self.recon_backend == "golden":
+            return self.golden.encode_frame(pf, depth8, modes8)
+        planes = recon.encode_frame_planes_jit(
+            pf.y, pf.cb, pf.cr, depth8, modes8,
+            qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
+        decisions = dict(depth8=depth8, modes8=modes8,
+                         coef_y=np.asarray(planes.coef_y),
+                         coef_cb=np.asarray(planes.coef_cb),
+                         coef_cr=np.asarray(planes.coef_cr))
+        rec = Frame(np.asarray(planes.recon_y).astype(np.uint8),
+                    np.asarray(planes.recon_cb).astype(np.uint8),
+                    np.asarray(planes.recon_cr).astype(np.uint8))
+        return decisions, rec

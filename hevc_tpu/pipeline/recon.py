@@ -168,24 +168,36 @@ def _diag_lanes(nx, ny):
 
 def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
                         qp: int, pad_w: int, pad_h: int) -> FramePlanes:
-    """Jittable whole-frame normative reconstruction + coefficients."""
-    nx, ny = pad_w // 64, pad_h // 64
+    """Jittable whole-frame normative reconstruction + coefficients.
+
+    pad_w/pad_h are the coded (min-CU-aligned) dims; internally everything
+    is CTU-aligned — boundary CTUs extend past the frame, their outside
+    nodes are never leaves (depth8 is padded with -1), and availability
+    uses the true pad_w/pad_h.
+    """
+    nx, ny = -(-pad_w // 64), -(-pad_h // 64)
+    W64, H64 = nx * 64, ny * 64
     cqp = quant.chroma_qp(qp)
     cxs, cys, act = _diag_lanes(nx, ny)
 
-    orig_y = jnp.asarray(orig_y, jnp.int32)
-    orig_cb = jnp.asarray(orig_cb, jnp.int32)
-    orig_cr = jnp.asarray(orig_cr, jnp.int32)
-    depth8 = jnp.asarray(depth8, jnp.int32)
-    modes8 = jnp.asarray(modes8, jnp.int32)
+    def pad_to(a, th, tw, value=0):
+        return jnp.pad(jnp.asarray(a, jnp.int32),
+                       ((0, th - a.shape[0]), (0, tw - a.shape[1])),
+                       constant_values=value)
+
+    orig_y = pad_to(orig_y, H64, W64)
+    orig_cb = pad_to(orig_cb, H64 // 2, W64 // 2)
+    orig_cr = pad_to(orig_cr, H64 // 2, W64 // 2)
+    depth8 = pad_to(depth8, H64 // 8, W64 // 8, value=-1)
+    modes8 = pad_to(modes8, H64 // 8, W64 // 8)
 
     planes = FramePlanes(
-        recon_y=jnp.zeros((pad_h, pad_w), jnp.int32),
-        recon_cb=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
-        recon_cr=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
-        coef_y=jnp.zeros((pad_h, pad_w), jnp.int32),
-        coef_cb=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
-        coef_cr=jnp.zeros((pad_h // 2, pad_w // 2), jnp.int32),
+        recon_y=jnp.zeros((H64, W64), jnp.int32),
+        recon_cb=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
+        recon_cr=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
+        coef_y=jnp.zeros((H64, W64), jnp.int32),
+        coef_cb=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
+        coef_cr=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
     )
 
     def diag_step(planes, diag):
@@ -246,7 +258,14 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
     planes, _ = jax.lax.scan(
         diag_step, planes,
         (jnp.asarray(cxs), jnp.asarray(cys), jnp.asarray(act)))
-    return planes
+    return FramePlanes(
+        recon_y=planes.recon_y[:pad_h, :pad_w],
+        recon_cb=planes.recon_cb[:pad_h // 2, :pad_w // 2],
+        recon_cr=planes.recon_cr[:pad_h // 2, :pad_w // 2],
+        coef_y=planes.coef_y[:pad_h, :pad_w],
+        coef_cb=planes.coef_cb[:pad_h // 2, :pad_w // 2],
+        coef_cr=planes.coef_cr[:pad_h // 2, :pad_w // 2],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "pad_w", "pad_h"))

@@ -54,3 +54,8 @@ def test_recon_parity_multi_ctu_mixed_depths():
 def test_recon_parity_high_qp():
     cfg = headers.EncoderConfig(width=128, height=64, qp=45)
     _compare(cfg, synth_frame(128, 64, seed=1), None)
+
+
+def test_recon_parity_non_ctu_multiple():
+    cfg = headers.EncoderConfig(width=96, height=80, qp=32)
+    _compare(cfg, synth_frame(96, 80, seed=12), None)
