@@ -1,0 +1,588 @@
+// Native slice-data entropy encoder (CABAC) for hevc_tpu.
+//
+// C++ twin of hevc_tpu/entropy/{cabac,contexts,residual,slice_enc}.py —
+// same standard tables (H.265 9.3), same syntax walk; parity-tested
+// byte-for-byte against the Python implementation. This is the host-side
+// serial stage of the pipeline; it runs overlapped with device compute.
+//
+// API (extern "C"):
+//   int hevc_encode_slice(const int32_t* depth8, const int32_t* modes8,
+//                         const int32_t* coef_y, const int32_t* coef_cb,
+//                         const int32_t* coef_cr,
+//                         int pad_w, int pad_h, int qp,
+//                         uint8_t* out, int out_cap);
+// Returns number of bytes written (slice-data RBSP, byte-aligned,
+// starts at CABAC init; includes the final flush), or -1 on error.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ----- standard tables (H.265 Table 9-46/9-47) -----
+static const uint8_t kRangeTabLps[64][4] = {
+  {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+  {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+  {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+  {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+  {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+  {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+  {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+  {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+  {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+  {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+  {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+  {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+  {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+  {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+  {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+  {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2}};
+
+static const uint8_t kTransIdxLps[64] = {
+  0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,21,21,
+  22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,33,33,34,34,
+  35,35,35,36,36,36,37,37,37,38,38,63};
+
+// ----- context layout (must match entropy/contexts.py LAYOUT order) -----
+enum {
+  CTX_SAO_MERGE = 0,          // 1
+  CTX_SAO_TYPE = 1,           // 1
+  CTX_SPLIT_CU = 2,           // 3
+  CTX_TQ_BYPASS = 5,          // 1
+  CTX_SKIP = 6,               // 3
+  CTX_MERGE_FLAG = 9,         // 1
+  CTX_MERGE_IDX = 10,         // 1
+  CTX_PART_MODE = 11,         // 4
+  CTX_PRED_MODE = 15,         // 1
+  CTX_PREV_INTRA = 16,        // 1
+  CTX_CHROMA_PRED = 17,       // 2
+  CTX_INTER_DIR = 19,         // 5
+  CTX_MVD = 24,               // 2
+  CTX_REF_PIC = 26,           // 2
+  CTX_DQP = 28,               // 3
+  CTX_QT_CBF_LUMA = 31,       // 5
+  CTX_QT_CBF_CHROMA = 36,     // 5
+  CTX_TRANS_SUBDIV = 41,      // 3
+  CTX_SIG_CG = 44,            // 4 (luma 2, chroma 2)
+  CTX_SIG = 48,               // 44 (luma 28, chroma 16)
+  CTX_LAST_X = 92,            // 30 (luma 15, chroma 15)
+  CTX_LAST_Y = 122,           // 30
+  CTX_ONE = 152,              // 24 (luma 16, chroma 8)
+  CTX_ABS = 176,              // 6 (luma 4, chroma 2)
+  CTX_MVP_IDX = 182,          // 1
+  CTX_TS = 183,               // 2
+  CTX_CQP_ADJ_F = 185,        // 1
+  CTX_CQP_ADJ_I = 186,        // 1
+  NUM_CTX = 187
+};
+
+// I-slice (initType 0) init values, same order as entropy/contexts.py.
+static const uint8_t kInitI[NUM_CTX] = {
+  153, 200,
+  139,141,157,
+  154,
+  154,154,154,
+  154, 154,
+  184,154,154,154,
+  154,
+  184,
+  63,139,
+  154,154,154,154,154,
+  154,154,
+  154,154,
+  154,154,154,
+  111,141,154,154,154,
+  94,138,182,154,154,
+  153,138,138,
+  91,171,134,141,
+  // sig luma 28
+  111,111,125,110,110,94,124,108,124,107,125,141,179,153,125,
+  107,125,141,179,153,125,107,125,141,179,153,125,141,
+  // sig chroma 16
+  140,139,182,182,152,136,152,136,153,136,139,111,136,139,111,111,
+  // last_x 30
+  110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,
+  108,123,63,154,154,154,154,154,154,154,154,154,154,154,154,
+  // last_y 30
+  110,110,124,125,140,153,125,127,140,109,111,143,127,111,79,
+  108,123,63,154,154,154,154,154,154,154,154,154,154,154,154,
+  // one 24
+  140,92,137,138,140,152,138,139,153,74,149,92,139,107,122,152,
+  140,179,166,182,140,227,122,197,
+  // abs 6
+  138,153,136,167,152,152,
+  154,
+  139,139,
+  154,154
+};
+
+static const int kCtxIndMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+static const int kMinInGroup[10] = {0,1,2,3,4,6,8,12,16,24};
+static const int kGroupIdx[32] = {0,1,2,3,4,4,5,5,6,6,6,6,7,7,7,7,
+                                  8,8,8,8,8,8,8,8,9,9,9,9,9,9,9,9};
+
+struct BitWriter {
+  std::vector<uint8_t> bytes;
+  uint32_t cur = 0;
+  int nbits = 0;
+  void bit(int b) {
+    cur = (cur << 1) | (b & 1);
+    if (++nbits == 8) { bytes.push_back((uint8_t)cur); cur = 0; nbits = 0; }
+  }
+  void u(uint32_t v, int n) { for (int i = n - 1; i >= 0; --i) bit((v >> i) & 1); }
+  void align_zero() { while (nbits) bit(0); }
+};
+
+struct Cabac {
+  BitWriter& bw;
+  uint32_t low = 0, range = 510;
+  int bits_outstanding = 0;
+  bool first_bit = true;
+  uint8_t state[NUM_CTX];
+  uint8_t mps[NUM_CTX];
+
+  Cabac(BitWriter& b, int qp) : bw(b) {
+    for (int i = 0; i < NUM_CTX; ++i) {
+      int iv = kInitI[i];
+      int slope = (iv >> 4) * 5 - 45;
+      int offset = ((iv & 15) << 3) - 16;
+      int q = qp < 0 ? 0 : (qp > 51 ? 51 : qp);
+      int pre = ((slope * q) >> 4) + offset;
+      if (pre < 1) pre = 1; if (pre > 126) pre = 126;
+      if (pre <= 63) { state[i] = 63 - pre; mps[i] = 0; }
+      else { state[i] = pre - 64; mps[i] = 1; }
+    }
+  }
+  void put_bit(int b) {
+    if (first_bit) first_bit = false; else bw.bit(b);
+    while (bits_outstanding > 0) { bw.bit(1 - b); --bits_outstanding; }
+  }
+  void renorm() {
+    while (range < 256) {
+      if (low < 256) put_bit(0);
+      else if (low >= 512) { low -= 512; put_bit(1); }
+      else { low -= 256; ++bits_outstanding; }
+      range <<= 1; low <<= 1;
+    }
+  }
+  void bin(int idx, int b) {
+    int s = state[idx], m = mps[idx];
+    uint32_t lps = kRangeTabLps[s][(range >> 6) & 3];
+    range -= lps;
+    if (b != m) {
+      low += range; range = lps;
+      if (s == 0) mps[idx] = 1 - m;
+      state[idx] = kTransIdxLps[s];
+    } else if (s < 62) state[idx] = s + 1;
+    renorm();
+  }
+  void ep(int b) {
+    low <<= 1;
+    if (b) low += range;
+    if (low >= 1024) { low -= 1024; put_bit(1); }
+    else if (low < 512) put_bit(0);
+    else { low -= 512; ++bits_outstanding; }
+  }
+  void eps(uint32_t v, int n) { for (int i = n - 1; i >= 0; --i) ep((v >> i) & 1); }
+  void terminate(int b) {
+    range -= 2;
+    if (b) { low += range; range = 2; renorm(); flush(); }
+    else renorm();
+  }
+  void flush() {
+    range = 2; renorm();
+    put_bit((low >> 9) & 1);
+    bw.u(((low >> 7) & 3) | 1, 2);
+    bw.align_zero();
+  }
+};
+
+// ----- scans -----
+struct Scans {
+  // [scan_type][log2n-2]: grouped scan, cg scan
+  std::vector<int> grouped[3][4];
+  std::vector<int> cg[3][4];
+  Scans() {
+    for (int st = 0; st < 3; ++st)
+      for (int l = 0; l < 4; ++l) {
+        int n = 4 << l;
+        build(st, n, grouped[st][l], cg[st][l]);
+      }
+  }
+  static void base_scan(int st, int n, std::vector<int>& xs,
+                        std::vector<int>& ys) {
+    if (st == 0) {  // up-right diagonal
+      int x = 0, y = 0;
+      while ((int)xs.size() < n * n) {
+        while (y >= 0) {
+          if (x < n && y < n) { xs.push_back(x); ys.push_back(y); }
+          --y; ++x;
+        }
+        y = x; x = 0;
+      }
+    } else if (st == 1) {  // horizontal
+      for (int yy = 0; yy < n; ++yy) for (int xx = 0; xx < n; ++xx) {
+        xs.push_back(xx); ys.push_back(yy);
+      }
+    } else {  // vertical
+      for (int xx = 0; xx < n; ++xx) for (int yy = 0; yy < n; ++yy) {
+        xs.push_back(xx); ys.push_back(yy);
+      }
+    }
+  }
+  void build(int st, int n, std::vector<int>& grouped_out,
+             std::vector<int>& cg_out) {
+    std::vector<int> ix, iy;
+    base_scan(st, 4, ix, iy);
+    int m = n / 4 > 0 ? n / 4 : 1;
+    std::vector<int> cx, cy;
+    base_scan(st, m, cx, cy);
+    for (size_t c = 0; c < cx.size(); ++c) cg_out.push_back(cy[c] * m + cx[c]);
+    if (n == 4) {
+      for (int i = 0; i < 16; ++i) grouped_out.push_back(iy[i] * 4 + ix[i]);
+    } else {
+      for (size_t c = 0; c < cx.size(); ++c)
+        for (int i = 0; i < 16; ++i) {
+          int x = cx[c] * 4 + ix[i], y = cy[c] * 4 + iy[i];
+          grouped_out.push_back(y * n + x);
+        }
+    }
+  }
+};
+static const Scans g_scans;
+
+static int scan_type_for(int intra_mode, int n, bool is_luma) {
+  int max_size = is_luma ? 8 : 4;
+  if (n > max_size) return 0;
+  int d26 = intra_mode - 26; if (d26 < 0) d26 = -d26;
+  int d10 = intra_mode - 10; if (d10 < 0) d10 = -d10;
+  if (d26 <= 4) return 1;
+  if (d10 <= 4) return 2;
+  return 0;
+}
+
+static int first_sig_ctx(int n, bool is_luma, int st) {
+  if (is_luma) {
+    if (n == 4) return 0;
+    if (n == 8) return 9 + (st != 0 ? 6 : 0);
+    return 21;
+  }
+  if (n == 4) return 0;
+  if (n == 8) return 9;
+  return 12;
+}
+
+static int sig_ctx_inc(int pattern, int px, int py, int n, bool is_luma,
+                       int first_ctx) {
+  if (px + py == 0) return 0;
+  if (n == 4) return first_ctx + kCtxIndMap4x4[4 * py + px];
+  int xp = px & 3, yp = py & 3, cnt;
+  if (pattern == 0) { int t = xp + yp; cnt = t >= 3 ? 0 : (t >= 1 ? 1 : 2); }
+  else if (pattern == 1) cnt = yp >= 2 ? 0 : (yp >= 1 ? 1 : 2);
+  else if (pattern == 2) cnt = xp >= 2 ? 0 : (xp >= 1 ? 1 : 2);
+  else cnt = 2;
+  bool not_first = ((px >> 2) + (py >> 2)) > 0;
+  return first_ctx + ((not_first && is_luma) ? 3 : 0) + cnt;
+}
+
+struct SliceEnc {
+  Cabac& c;
+  const int32_t *depth8, *modes8, *coef_y, *coef_cb, *coef_cr;
+  int W, H, W8, Wc;
+
+  int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
+  int mode_at(int x, int y) const { return modes8[(y >> 3) * W8 + (x >> 3)]; }
+
+  void write_remaining(int value, int rice) {
+    if (value < (3 << rice)) {
+      int length = value >> rice;
+      c.eps((1u << (length + 1)) - 2, length + 1);
+      c.eps(value & ((1 << rice) - 1), rice);
+    } else {
+      int length = rice;
+      value -= (3 << rice);
+      while (value >= (1 << length)) { value -= (1 << length); ++length; }
+      c.eps((1u << (3 + length + 1 - rice)) - 2, 3 + length + 1 - rice);
+      c.eps(value, length);
+    }
+  }
+
+  void code_last_xy(int px, int py, int n, bool is_luma, int st) {
+    if (st == 2) { int t = px; px = py; py = t; }
+    int gx = kGroupIdx[px], gy = kGroupIdx[py];
+    int log2n = 0; while ((1 << log2n) < n) ++log2n;
+    int cw = log2n - 2, blk_off, shift, bx, by;
+    if (is_luma) {
+      blk_off = cw * 3 + ((cw + 1) >> 2); shift = (cw + 3) >> 2;
+      bx = CTX_LAST_X; by = CTX_LAST_Y;
+    } else {
+      blk_off = 0; shift = cw; bx = CTX_LAST_X + 15; by = CTX_LAST_Y + 15;
+    }
+    int max_group = kGroupIdx[n - 1];
+    for (int i = 0; i < gx; ++i) c.bin(bx + blk_off + (i >> shift), 1);
+    if (gx < max_group) c.bin(bx + blk_off + (gx >> shift), 0);
+    for (int i = 0; i < gy; ++i) c.bin(by + blk_off + (i >> shift), 1);
+    if (gy < max_group) c.bin(by + blk_off + (gy >> shift), 0);
+    if (gx > 3) {
+      int count = (gx - 2) >> 1, rem = px - kMinInGroup[gx];
+      for (int i = count - 1; i >= 0; --i) c.ep((rem >> i) & 1);
+    }
+    if (gy > 3) {
+      int count = (gy - 2) >> 1, rem = py - kMinInGroup[gy];
+      for (int i = count - 1; i >= 0; --i) c.ep((rem >> i) & 1);
+    }
+  }
+
+  void code_residual(const int32_t* blk, int stride, int n, bool is_luma,
+                     int st) {
+    int lidx = 0;
+    while ((4 << lidx) < n) ++lidx;
+    const std::vector<int>& scan = g_scans.grouped[st][lidx];
+    const std::vector<int>& cgs = g_scans.cg[st][lidx];
+    int n_cg_w = n / 4 > 0 ? n / 4 : 1;
+
+    auto val = [&](int rp) { int y = rp / n, x = rp % n; return blk[y * stride + x]; };
+
+    int total = n * n, scan_pos_last = -1;
+    std::vector<uint8_t> cg_flags(n_cg_w * n_cg_w, 0);
+    for (int i = 0; i < total; ++i) {
+      int rp = scan[i];
+      if (val(rp) != 0) {
+        scan_pos_last = i;
+        int y = rp / n, x = rp % n;
+        cg_flags[(y >> 2) * n_cg_w + (x >> 2)] = 1;
+      }
+    }
+    int pos_last = scan[scan_pos_last];
+    code_last_xy(pos_last % n, pos_last / n, n, is_luma, st);
+
+    int sig_base = CTX_SIG + (is_luma ? 0 : 28);
+    int first_ctx = first_sig_ctx(n, is_luma, st);
+    int cg_base = CTX_SIG_CG + (is_luma ? 0 : 2);
+    int last_cg = scan_pos_last >> 4;
+    int c1 = 1;
+    int i_scan_sig = scan_pos_last;
+
+    for (int subset = last_cg; subset >= 0; --subset) {
+      int sub_pos = subset << 4;
+      int rice = 0;
+      int abs_coeff[16]; int signs[16];
+      int num_nonzero = 0, last_nz = -1, first_nz = 16;
+
+      if (i_scan_sig == scan_pos_last) {
+        int v = val(pos_last);
+        abs_coeff[0] = v < 0 ? -v : v;
+        signs[0] = v < 0;
+        num_nonzero = 1; last_nz = i_scan_sig; first_nz = i_scan_sig;
+        --i_scan_sig;
+      }
+      int cg_blk = cgs[subset];
+      int cg_y = cg_blk / n_cg_w, cg_x = cg_blk % n_cg_w;
+      int sig_right = (cg_x < n_cg_w - 1 && cg_flags[cg_y * n_cg_w + cg_x + 1]);
+      int sig_lower = (cg_y < n_cg_w - 1 && cg_flags[(cg_y + 1) * n_cg_w + cg_x]);
+
+      if (subset == last_cg || subset == 0) cg_flags[cg_blk] = 1;
+      else c.bin(cg_base + ((sig_right + sig_lower) ? 1 : 0), cg_flags[cg_blk]);
+
+      if (cg_flags[cg_blk]) {
+        int pattern = sig_right + 2 * sig_lower;
+        for (; i_scan_sig >= sub_pos; --i_scan_sig) {
+          int rp = scan[i_scan_sig];
+          int py = rp / n, px = rp % n;
+          int v = val(rp);
+          int sig = v != 0;
+          if (i_scan_sig > sub_pos || subset == 0 || num_nonzero)
+            c.bin(sig_base + sig_ctx_inc(pattern, px, py, n, is_luma,
+                                         first_ctx), sig);
+          if (sig) {
+            abs_coeff[num_nonzero] = v < 0 ? -v : v;
+            signs[num_nonzero] = v < 0;
+            ++num_nonzero;
+            if (last_nz == -1) last_nz = i_scan_sig;
+            first_nz = i_scan_sig;
+          }
+        }
+      } else i_scan_sig = sub_pos - 1;
+
+      if (!num_nonzero) continue;
+
+      int ctx_set, one_base, abs_base;
+      if (is_luma) {
+        ctx_set = (subset > 0 ? 2 : 0) + (c1 == 0 ? 1 : 0);
+        one_base = CTX_ONE + ctx_set * 4;
+        abs_base = CTX_ABS + ctx_set;
+      } else {
+        ctx_set = (c1 == 0 ? 1 : 0);
+        one_base = CTX_ONE + 16 + ctx_set * 4;
+        abs_base = CTX_ABS + 4 + ctx_set;
+      }
+      c1 = 1;
+      bool escape = false;
+      int num_c1 = num_nonzero < 8 ? num_nonzero : 8;
+      int first_c2 = -1;
+      for (int i = 0; i < num_c1; ++i) {
+        int sym = abs_coeff[i] > 1;
+        c.bin(one_base + c1, sym);
+        if (sym) {
+          c1 = 0;
+          if (first_c2 == -1) first_c2 = i; else escape = true;
+        } else if (c1 > 0 && c1 < 3) ++c1;
+      }
+      if (c1 == 0 && first_c2 != -1) {
+        int sym = abs_coeff[first_c2] > 2;
+        c.bin(abs_base, sym);
+        if (sym) escape = true;
+      }
+      if (num_nonzero > 8) escape = true;
+      for (int i = 0; i < num_nonzero; ++i) c.ep(signs[i]);
+      if (escape) {
+        int first2 = 1;
+        for (int i = 0; i < num_nonzero; ++i) {
+          int base_level = i < 8 ? (2 + first2) : 1;
+          if (abs_coeff[i] >= base_level) {
+            write_remaining(abs_coeff[i] - base_level, rice);
+            if (abs_coeff[i] > (3 << rice)) rice = rice < 4 ? rice + 1 : 4;
+          }
+          if (abs_coeff[i] >= 2) first2 = 0;
+        }
+      }
+    }
+  }
+
+  bool tu_cbf(int plane, int x0, int y0, int size) const {
+    const int32_t* p; int stride, x, y, s;
+    if (plane == 0) { p = coef_y; stride = W; x = x0; y = y0; s = size; }
+    else { p = plane == 1 ? coef_cb : coef_cr; stride = Wc;
+           x = x0 >> 1; y = y0 >> 1; s = size >> 1; }
+    for (int yy = 0; yy < s; ++yy)
+      for (int xx = 0; xx < s; ++xx)
+        if (p[(y + yy) * stride + (x + xx)]) return true;
+    return false;
+  }
+
+  void mpm_list(int cand_a, int cand_b, int mpm[3]) {
+    if (cand_a == cand_b) {
+      if (cand_a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+      else { mpm[0] = cand_a; mpm[1] = 2 + ((cand_a + 29) % 32);
+             mpm[2] = 2 + ((cand_a - 1) % 32); }
+    } else {
+      mpm[0] = cand_a; mpm[1] = cand_b;
+      if (cand_a != 0 && cand_b != 0) mpm[2] = 0;
+      else if (cand_a != 1 && cand_b != 1) mpm[2] = 1;
+      else mpm[2] = 26;
+    }
+  }
+
+  void transform_unit(int x0, int y0, int size, bool cl, bool ccb, bool ccr,
+                      int mode) {
+    if (!(cl || ccb || ccr)) return;
+    if (cl) {
+      code_residual(coef_y + y0 * W + x0, W, size, true,
+                    scan_type_for(mode, size, true));
+    }
+    int half = size >> 1;
+    if (ccb)
+      code_residual(coef_cb + (y0 >> 1) * Wc + (x0 >> 1), Wc, half, false,
+                    scan_type_for(mode, half, false));
+    if (ccr)
+      code_residual(coef_cr + (y0 >> 1) * Wc + (x0 >> 1), Wc, half, false,
+                    scan_type_for(mode, half, false));
+  }
+
+  void transform_tree(int x0, int y0, int size, int mode) {
+    bool split = size > 32;
+    bool cbf_cb = tu_cbf(1, x0, y0, size);
+    bool cbf_cr = tu_cbf(2, x0, y0, size);
+    c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cb);
+    c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cr);
+    if (split) {
+      int h = size >> 1;
+      const int off[4][2] = {{0,0},{h,0},{0,h},{h,h}};
+      for (int i = 0; i < 4; ++i) {
+        int x1 = x0 + off[i][0], y1 = y0 + off[i][1];
+        bool ccb = cbf_cb && tu_cbf(1, x1, y1, h);
+        bool ccr = cbf_cr && tu_cbf(2, x1, y1, h);
+        if (cbf_cb) c.bin(CTX_QT_CBF_CHROMA + 1, ccb);
+        if (cbf_cr) c.bin(CTX_QT_CBF_CHROMA + 1, ccr);
+        bool cl = tu_cbf(0, x1, y1, h);
+        c.bin(CTX_QT_CBF_LUMA + 0, cl);
+        transform_unit(x1, y1, h, cl, ccb, ccr, mode);
+      }
+    } else {
+      bool cl = tu_cbf(0, x0, y0, size);
+      c.bin(CTX_QT_CBF_LUMA + 1, cl);
+      transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr, mode);
+    }
+  }
+
+  void coding_unit(int x0, int y0, int size) {
+    if (size == 8) c.bin(CTX_PART_MODE, 1);
+    int mode = mode_at(x0, y0);
+    int cand_a = x0 > 0 ? mode_at(x0 - 1, y0) : 1;
+    int cand_b = 1;
+    if (y0 > 0 && ((y0 - 1) >> 6) == (y0 >> 6)) cand_b = mode_at(x0, y0 - 1);
+    int mpm[3];
+    mpm_list(cand_a, cand_b, mpm);
+    int idx = mode == mpm[0] ? 0 : mode == mpm[1] ? 1 : mode == mpm[2] ? 2 : -1;
+    if (idx >= 0) {
+      c.bin(CTX_PREV_INTRA, 1);
+      c.ep(idx == 0 ? 0 : 1);
+      if (idx) c.ep(idx - 1);
+    } else {
+      c.bin(CTX_PREV_INTRA, 0);
+      int rem = mode;
+      // subtract 1 for each mpm < mode
+      int s[3] = {mpm[0], mpm[1], mpm[2]};
+      for (int i = 0; i < 3; ++i)
+        if (mode > s[i]) --rem;
+      c.eps(rem, 5);
+    }
+    c.bin(CTX_CHROMA_PRED, 0);  // DM
+    transform_tree(x0, y0, size, mode);
+  }
+
+  void coding_quadtree(int x0, int y0, int size, int depth) {
+    bool inside = (x0 + size <= W) && (y0 + size <= H);
+    int cur_depth = cu_depth_at(x0, y0);
+    bool split = cur_depth > depth;
+    if (inside && size > 8) {
+      int inc = 0;
+      if (x0 > 0) inc += cu_depth_at(x0 - 1, y0) > depth;
+      if (y0 > 0) inc += cu_depth_at(x0, y0 - 1) > depth;
+      c.bin(CTX_SPLIT_CU + inc, split);
+    }
+    if ((inside && split) || (!inside && size > 8)) {
+      int h = size >> 1;
+      const int off[4][2] = {{0,0},{h,0},{0,h},{h,h}};
+      for (int i = 0; i < 4; ++i) {
+        int x1 = x0 + off[i][0], y1 = y0 + off[i][1];
+        if (x1 < W && y1 < H) coding_quadtree(x1, y1, h, depth + 1);
+      }
+    } else coding_unit(x0, y0, size);
+  }
+};
+
+}  // namespace
+
+extern "C" int hevc_encode_slice(const int32_t* depth8, const int32_t* modes8,
+                                 const int32_t* coef_y,
+                                 const int32_t* coef_cb,
+                                 const int32_t* coef_cr,
+                                 int pad_w, int pad_h, int qp,
+                                 uint8_t* out, int out_cap) {
+  BitWriter bw;
+  Cabac cab(bw, qp);
+  SliceEnc se{cab, depth8, modes8, coef_y, coef_cb, coef_cr,
+              pad_w, pad_h, pad_w / 8, pad_w / 2};
+  int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
+  int n_ctu = nx * ny;
+  for (int ci = 0; ci < n_ctu; ++ci) {
+    int cy = ci / nx, cx = ci % nx;
+    se.coding_quadtree(cx * 64, cy * 64, 64, 0);
+    cab.terminate(ci == n_ctu - 1 ? 1 : 0);
+  }
+  if ((int)bw.bytes.size() > out_cap) return -1;
+  std::memcpy(out, bw.bytes.data(), bw.bytes.size());
+  return (int)bw.bytes.size();
+}

@@ -1,0 +1,148 @@
+"""Frame-parallel AI encoding over a device mesh.
+
+AI frames are independent (SURVEY.md 2.4/7.3: DP over frames/GOPs is the
+natural axis), so the whole decide+reconstruct pipeline vmaps over a frame
+batch and shards it across the mesh's 'data' axis: each chip runs the
+search + wavefront reconstruction for its frames; XLA inserts no
+collectives on the hot path (pure data parallelism over ICI-free work),
+only the host gather of coefficients for entropy packing.
+
+Usage:
+    mesh = make_mesh(...)
+    penc = FrameParallelAI(cfg, mesh, cnn_params=...)
+    stream, stats = penc.encode(frames)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.yuv import pad_frame
+from ..entropy import headers
+from ..models import eth_cnn, hcpm
+from ..pipeline import golden, recon, search
+
+
+class FrameParallelAI:
+    def __init__(self, cfg: headers.EncoderConfig, mesh,
+                 cnn_params=None,
+                 thresholds: Optional[hcpm.Thresholds] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.cnn_params = cnn_params
+        self.thr = thresholds or hcpm.DEFAULT_AI
+        self._origins = jnp.asarray(
+            search.ctu_grid(cfg.pad_width, cfg.pad_height))
+        self._sharding = NamedSharding(mesh, P("data"))
+        self._replicated = NamedSharding(mesh, P())
+
+        def decide_one(y, probs):
+            res = search.search_frame(
+                y, self._origins, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=probs,
+                thr_up=self.thr.up, thr_down=self.thr.down)
+            return res.depth8, res.modes8
+
+        def recon_one(y, cb, cr, d8, m8):
+            return recon.encode_frame_planes(
+                y, cb, cr, d8, m8, qp=cfg.qp, pad_w=cfg.pad_width,
+                pad_h=cfg.pad_height)
+
+        def full(ys, cbs, crs, params):
+            # [F, H, W] batched over frames
+            if params is not None:
+                F = ys.shape[0]
+                H64, W64 = cfg.ctus_y * 64, cfg.ctus_x * 64
+                ypad = jnp.pad(ys, ((0, 0), (0, H64 - ys.shape[1]),
+                                    (0, W64 - ys.shape[2])))
+                ctus = ypad.reshape(F, cfg.ctus_y, 64, cfg.ctus_x, 64)
+                ctus = ctus.transpose(0, 1, 3, 2, 4).reshape(-1, 64, 64)
+                qp = jnp.full((ctus.shape[0],), float(cfg.qp))
+                probs = eth_cnn.apply(params, ctus, qp,
+                                      thr_l1=self.thr.l1_lower,
+                                      thr_l2=self.thr.l2_lower)
+                probs = probs.reshape(F, -1, 21)
+            else:
+                probs = None
+
+            if probs is not None:
+                d8s, m8s = jax.vmap(decide_one)(ys, probs)
+            else:
+                d8s, m8s = jax.vmap(lambda y: decide_one(y, None))(ys)
+
+            # frame-level maps from per-CTU grids
+            nx, ny = cfg.ctus_x, cfg.ctus_y
+            F = ys.shape[0]
+            d = d8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
+            d = d.reshape(F, ny * 8, nx * 8)[:, :cfg.pad_height // 8,
+                                             :cfg.pad_width // 8]
+            m = m8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
+            m = m.reshape(F, ny * 8, nx * 8)[:, :cfg.pad_height // 8,
+                                             :cfg.pad_width // 8]
+            planes = jax.vmap(recon_one)(ys, cbs, crs, d, m)
+            return d, m, planes
+
+        self._full = jax.jit(full)
+
+    def encode_batch(self, frames):
+        """Encode a batch of frames (ideally a multiple of the data-axis
+        size). Returns (chunks, recons, decide+recon seconds)."""
+        cfg = self.cfg
+        pfs = [pad_frame(f, cfg.pad_width, cfg.pad_height) for f in frames]
+        ys = jax.device_put(
+            np.stack([p.y for p in pfs]).astype(np.int32), self._sharding)
+        cbs = jax.device_put(
+            np.stack([p.cb for p in pfs]).astype(np.int32), self._sharding)
+        crs = jax.device_put(
+            np.stack([p.cr for p in pfs]).astype(np.int32), self._sharding)
+        params = self.cnn_params
+        if params is not None:
+            params = jax.device_put(params, self._replicated)
+
+        t0 = time.perf_counter()
+        d, m, planes = self._full(ys, cbs, crs, params)
+        jax.block_until_ready(planes)
+        device_s = time.perf_counter() - t0
+
+        chunks = []
+        recons = []
+        from ..core.yuv import Frame
+        d = np.asarray(d)
+        m = np.asarray(m)
+        coef_y = np.asarray(planes.coef_y)
+        coef_cb = np.asarray(planes.coef_cb)
+        coef_cr = np.asarray(planes.coef_cr)
+        rec_y = np.asarray(planes.recon_y)
+        rec_cb = np.asarray(planes.recon_cb)
+        rec_cr = np.asarray(planes.recon_cr)
+        for i in range(len(frames)):
+            decisions = dict(depth8=d[i], modes8=m[i], coef_y=coef_y[i],
+                             coef_cb=coef_cb[i], coef_cr=coef_cr[i])
+            chunks.append(self._entropy(decisions))
+            recons.append(Frame(rec_y[i].astype(np.uint8),
+                                rec_cb[i].astype(np.uint8),
+                                rec_cr[i].astype(np.uint8)))
+        return chunks, recons, device_s
+
+    def _entropy(self, decisions) -> bytes:
+        from ..pipeline.ai import entropy_encode_slice
+        return entropy_encode_slice(self.cfg, decisions)
+
+    def encode(self, frames, with_hash_sei: bool = True):
+        cfg = self.cfg
+        out = [headers.write_vps(cfg), headers.write_sps(cfg),
+               headers.write_pps(cfg)]
+        chunks, recons, device_s = self.encode_batch(frames)
+        for ch, rec in zip(chunks, recons):
+            out.append(ch)
+            if with_hash_sei:
+                out.append(headers.write_hash_sei(
+                    golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
+                    golden.md5_plane(rec.cr)))
+        return b"".join(out), {"device_s": device_s}

@@ -23,9 +23,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Create a ('data', 'model') mesh over the available devices."""
+    """Create a ('data', 'model') mesh over the available devices.
+
+    Falls back to the (virtual) CPU backend when the default platform has
+    fewer devices than requested — keeps multi-chip code paths testable
+    on single-chip hosts.
+    """
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            devices = jax.devices("cpu")
     if n_devices is None:
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])

@@ -87,12 +87,7 @@ class AIEncoder:
             t1 = time.perf_counter()
             decisions, rec = self.reconstruct(pf, depth8, modes8)
             t2 = time.perf_counter()
-            bw = headers.start_idr_slice(cfg, cfg.qp)
-            se = SliceEncoder(cfg, cfg.qp)
-            se.encode(bw, decisions["depth8"], decisions["modes8"],
-                      decisions["coef_y"], decisions["coef_cb"],
-                      decisions["coef_cr"])
-            chunks.append(headers.finish_slice_nal(bw))
+            chunks.append(self._entropy_encode(decisions))
             if with_hash_sei:
                 chunks.append(headers.write_hash_sei(
                     golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
@@ -103,6 +98,9 @@ class AIEncoder:
             stats["entropy_s"] += t3 - t2
             recons.append(rec)
         return b"".join(chunks), recons, stats
+
+    def _entropy_encode(self, decisions) -> bytes:
+        return entropy_encode_slice(self.cfg, decisions)
 
     def reconstruct(self, pf, depth8, modes8):
         """Normative reconstruction + coefficients (TPU wavefront by
@@ -121,3 +119,24 @@ class AIEncoder:
                     np.asarray(planes.recon_cb).astype(np.uint8),
                     np.asarray(planes.recon_cr).astype(np.uint8))
         return decisions, rec
+
+
+def entropy_encode_slice(cfg, decisions) -> bytes:
+    """Slice NAL: header (Python) + CABAC slice data (native C++ with
+    Python fallback, byte-identical - tests/test_native_entropy.py)."""
+    bw = headers.start_idr_slice(cfg, cfg.qp)
+    try:
+        from .. import native
+        data = native.encode_slice_data(
+            decisions["depth8"], decisions["modes8"], decisions["coef_y"],
+            decisions["coef_cb"], decisions["coef_cr"],
+            cfg.pad_width, cfg.pad_height, cfg.qp)
+        rbsp = bw.get_bytes() + data
+        from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
+        return nal_unit(NAL_IDR_W_RADL, rbsp)
+    except Exception:
+        se = SliceEncoder(cfg, cfg.qp)
+        se.encode(bw, decisions["depth8"], decisions["modes8"],
+                  decisions["coef_y"], decisions["coef_cb"],
+                  decisions["coef_cr"])
+        return headers.finish_slice_nal(bw)

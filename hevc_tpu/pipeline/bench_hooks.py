@@ -1,0 +1,101 @@
+"""Benchmark entry points used by bench.py.
+
+Headline: All-Intra 1080p encode frames/s/chip for the full pipeline
+(ETH-CNN HCPM predict + TPU search + TPU wavefront reconstruction + host
+CABAC). vs_baseline compares against the HM-16.5 reference encoder
+(Extract_Data build ~= vanilla full-RDO) measured once on this host and
+cached in tools/hm_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import time
+
+import numpy as np
+
+HM_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "..", "..",
+                                 "tools", "hm_baseline.json")
+
+
+def synth_1080p(n_frames=2, seed=0):
+    from ..core.yuv import Frame
+    rng = np.random.RandomState(seed)
+    frames = []
+    base_y = rng.randint(0, 256, (1080, 1920)).astype(np.float32)
+    yy, xx = np.mgrid[0:1080, 0:1920].astype(np.float32)
+    for i in range(n_frames):
+        y = np.clip(0.5 * base_y + 80 + 50 * np.sin((xx + 13 * i) / 37.0)
+                    * np.cos(yy / 29.0), 0, 255).astype(np.uint8)
+        cb = np.full((540, 960), 120, np.uint8)
+        cr = np.full((540, 960), 130, np.uint8)
+        frames.append(Frame(y, cb, cr))
+    return frames
+
+
+def measure_hm_baseline(n_frames=2, force=False, timeout=3600):
+    """Encode the same synthetic clip with the HM reference encoder once;
+    cache seconds/frame."""
+    path = os.path.abspath(HM_BASELINE_CACHE)
+    if os.path.exists(path) and not force:
+        with open(path) as f:
+            return json.load(f)
+    from ..evaltools.hm import ENCODER
+    from ..core.yuv import write_yuv420
+    from ..train.labels import hm_intra_cfg
+    import tempfile
+    frames = synth_1080p(n_frames)
+    with tempfile.TemporaryDirectory() as td:
+        write_yuv420(os.path.join(td, "in.yuv"), frames)
+        with open(os.path.join(td, "enc.cfg"), "w") as f:
+            f.write(hm_intra_cfg(1920, 1080, 32, n_frames))
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [ENCODER, "-c", "enc.cfg", "-i", "in.yuv", "-b", "str.bin"],
+            cwd=td, capture_output=True, text=True, timeout=timeout)
+        dt = time.perf_counter() - t0
+        assert proc.returncode == 0, proc.stderr
+    result = {"hm_seconds_per_frame_1080p_ai_qp32": dt / n_frames,
+              "n_frames": n_frames}
+    with open(path, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def bench_encode_1080p(n_frames=4, warmup=1):
+    """Full-pipeline AI 1080p benchmark; returns the bench.py JSON dict."""
+    import jax
+    from ..entropy import headers
+    from ..models import eth_cnn
+    from .ai import AIEncoder
+
+    cfg = headers.EncoderConfig(width=1920, height=1080, qp=32)
+    params = eth_cnn.init_params(jax.random.PRNGKey(0))
+    enc = AIEncoder(cfg, cnn_params=params)
+    frames = synth_1080p(n_frames + warmup)
+
+    # warmup (compile)
+    enc.encode(frames[:warmup], with_hash_sei=False)
+
+    t0 = time.perf_counter()
+    stream, recons, stats = enc.encode(frames[warmup:], with_hash_sei=False)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    try:
+        base = measure_hm_baseline()
+        hm_spf = base["hm_seconds_per_frame_1080p_ai_qp32"]
+        vs = fps * hm_spf
+    except Exception:
+        vs = -1.0
+
+    return {
+        "metric": "ai_encode_1080p",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(vs, 2),
+        "detail": {k: round(v, 3) for k, v in stats.items()},
+        "stream_bytes": len(stream),
+    }

@@ -1,0 +1,37 @@
+"""Frame-parallel (multi-device) AI encoding on the virtual 8-CPU mesh."""
+
+import numpy as np
+import pytest
+
+from hevc_tpu.entropy import headers
+from hevc_tpu.evaltools import hm
+from hevc_tpu.parallel import frames as pframes
+from hevc_tpu.parallel.mesh import make_mesh
+from hevc_tpu.pipeline.ai import AIEncoder
+
+from tests.test_e2e_bitstream import synth_frame
+
+
+def test_frame_parallel_matches_single_device():
+    cfg = headers.EncoderConfig(width=64, height=64, qp=32)
+    frames = [synth_frame(64, 64, seed=s) for s in range(8)]
+
+    mesh = make_mesh(8, model_axis=1)
+    penc = pframes.FrameParallelAI(cfg, mesh)
+    pstream, _ = penc.encode(frames)
+
+    senc = AIEncoder(cfg)
+    sstream, _, _ = senc.encode(frames)
+    assert pstream == sstream
+
+
+@pytest.mark.skipif(not hm.decoder_available(), reason="HM decoder missing")
+def test_frame_parallel_hm_decodes(tmp_path):
+    cfg = headers.EncoderConfig(width=128, height=64, qp=27)
+    frames = [synth_frame(128, 64, seed=s) for s in range(4)]
+    mesh = make_mesh(4, model_axis=1)
+    penc = pframes.FrameParallelAI(cfg, mesh)
+    stream, _ = penc.encode(frames)
+    rc, log, rec = hm.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
