@@ -77,3 +77,47 @@ def test_qp_band_selection():
     assert train_cnn.band_for_qp(27) == "qp25~30"
     assert train_cnn.band_for_qp(32) == "qp30~35"
     assert train_cnn.band_for_qp(37) == "qp35~40"
+
+
+def test_ldp_sample_format_roundtrip(tmp_path):
+    from hevc_tpu.train import dataset_ldp
+    rng = np.random.RandomState(4)
+    n = 6
+    resi = {qp: rng.randint(0, 256, (n, 64, 64)).astype(np.uint8)
+            for qp in (22, 27, 32, 37)}
+    dep = {qp: rng.randint(0, 4, (n, 4, 4)).astype(np.uint8)
+           for qp in (22, 27, 32, 37)}
+    line = np.arange(n) // 3
+    col = np.arange(n) % 3
+    p = str(tmp_path / "ldp.dat")
+    dataset_ldp.write_reference_ldp_samples(p, resi, dep, 7, line, col,
+                                            seq=2, mode="wb")
+    assert os.path.getsize(p) == n * dataset_ldp.LDP_SAMPLE_BYTES
+    out = dataset_ldp.read_reference_ldp_samples(p)
+    assert (out["frame_idx"] == 7).all()
+    assert (out["seq"] == 2).all()
+    np.testing.assert_array_equal(out["line"], line)
+    np.testing.assert_array_equal(out["blocks"][0]["qp"],
+                                  np.full(n, 22, np.uint8))
+    np.testing.assert_array_equal(out["blocks"][2]["resi"], resi[32])
+    np.testing.assert_array_equal(out["blocks"][3]["depth4"], dep[37])
+
+
+def test_ldp_chain_building():
+    from hevc_tpu.train import dataset_ldp
+    rng = np.random.RandomState(5)
+    # 2 CTU positions x 25 frames
+    n_frames, n_pos = 25, 2
+    N = n_frames * n_pos
+    resi = rng.randint(0, 256, (N, 64, 64)).astype(np.uint8)
+    depth4 = rng.randint(0, 4, (N, 4, 4)).astype(np.uint8)
+    frame_idx = np.repeat(np.arange(n_frames), n_pos)
+    line = np.tile(np.array([0, 0]), n_frames)
+    col = np.tile(np.array([0, 1]), n_frames)
+    seq = np.zeros(N, np.int32)
+    cr, cd, cf = dataset_ldp.build_ldp_chains(resi, depth4, frame_idx,
+                                              line, col, seq,
+                                              chain_len=20, stride=10)
+    assert cr.shape[1:] == (20, 64, 64)
+    assert cr.shape[0] == 2  # one full chain per CTU position (25 frames)
+    np.testing.assert_array_equal(cf[0], np.arange(20) % 4)
