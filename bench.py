@@ -11,7 +11,14 @@ measured on this machine when available, else against a recorded constant.
 """
 
 import json
+import os
 import time
+
+# Persistent XLA compilation cache: repeat bench runs skip the (large)
+# search/recon graph compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hevc_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 import jax.numpy as jnp

@@ -121,3 +121,15 @@ def test_ldp_chain_building():
     assert cr.shape[1:] == (20, 64, 64)
     assert cr.shape[0] == 2  # one full chain per CTU position (25 frames)
     np.testing.assert_array_equal(cf[0], np.arange(20) % 4)
+
+
+def test_bd_rate_math():
+    from hevc_tpu.evaltools import bdrate
+    # identical curves -> 0%
+    r = [1000., 2000., 4000., 8000.]
+    p = [30., 33., 36., 39.]
+    assert abs(bdrate.bd_rate(r, p, r, p)) < 1e-9
+    # B uses 10% more bits at equal psnr -> ~ +10%
+    r2 = [x * 1.1 for x in r]
+    v = bdrate.bd_rate(r, p, r2, p)
+    assert 9.0 < v < 11.0, v

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train ETH-CNN AI models end-to-end on synthetic content.
+
+Pipeline (mirrors the reference training chain, SURVEY.md 3.3, with our
+encoder as the label source): synthesize frames -> extract CU-depth
+ground truth with the full (ungated) partition search -> build samples ->
+train per-QP-band models -> save checkpoints under models/.
+
+Usage: python tools/train_ai_models.py [--frames N] [--iters N] [--hm]
+       (--hm uses the HM Extract_Data encoder for labels instead)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_content_frame(rng, width, height):
+    """Mixed synthetic content: flat areas, gradients, edges, texture."""
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    kind = rng.randint(0, 4)
+    y = np.full((height, width), float(rng.randint(40, 216)), np.float32)
+    if kind >= 1:  # gradients
+        y += (rng.rand() * 80 - 40) * xx / width \
+            + (rng.rand() * 80 - 40) * yy / height
+    if kind >= 2:  # blobs + edges
+        for _ in range(rng.randint(3, 10)):
+            cx, cy = rng.randint(0, width), rng.randint(0, height)
+            r = rng.randint(5, 60)
+            amp = rng.randint(-80, 80)
+            d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+            y += amp * np.exp(-d2 / (2.0 * r * r))
+        for _ in range(rng.randint(0, 4)):
+            x0 = rng.randint(0, width)
+            y += np.where(xx > x0, rng.randint(-50, 50), 0)
+    if kind >= 3:  # texture patches
+        ty0, tx0 = rng.randint(0, height // 2), rng.randint(0, width // 2)
+        th, tw = rng.randint(32, height - ty0), rng.randint(32, width - tx0)
+        y[ty0:ty0 + th, tx0:tx0 + tw] += \
+            rng.randn(th, tw) * rng.randint(5, 40)
+    y += rng.randn(height, width) * rng.rand() * 5
+    from hevc_tpu.core.yuv import Frame
+    yl = np.clip(y, 0, 255).astype(np.uint8)
+    cb = np.full((height // 2, width // 2), 128, np.uint8)
+    cr = np.full((height // 2, width // 2), 128, np.uint8)
+    return Frame(yl, cb, cr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--iters", type=int, default=4000)
+    ap.add_argument("--hm", action="store_true",
+                    help="use HM Extract_Data for labels")
+    ap.add_argument("--qps", type=int, nargs="+",
+                    default=[22, 27, 32, 37])
+    ap.add_argument("--out", default="models")
+    args = ap.parse_args()
+
+    from hevc_tpu.train import dataset, labels, train_cnn
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(0)
+    frames = [synth_content_frame(rng, args.width, args.height)
+              for _ in range(args.frames)]
+    frames_y = np.stack([f.y for f in frames])
+
+    all_parts = {}
+    for qp in args.qps:
+        t0 = time.time()
+        if args.hm:
+            lab = labels.extract_labels_hm(frames, qp, args.width,
+                                           args.height)
+        else:
+            lab = labels.extract_labels_own(frames, qp, args.width,
+                                            args.height)
+        luma, depth4 = dataset.build_samples(frames_y, lab, qp)
+        all_parts[qp] = (luma, depth4)
+        frac = [float((depth4 == d).mean()) for d in range(4)]
+        print(f"qp {qp}: {luma.shape[0]} samples in {time.time()-t0:.1f}s; "
+              f"depth dist {[round(f, 2) for f in frac]}")
+
+    # split train/valid per QP, train one model per band (each band here
+    # maps to one QP of the sweep; reference uses one model per band)
+    for qp in args.qps:
+        luma, depth4 = all_parts[qp]
+        n = luma.shape[0]
+        n_valid = max(64, n // 10)
+        valid = (luma[:n_valid], np.full((n_valid,), qp, np.uint8),
+                 depth4[:n_valid])
+        cfg = train_cnn.TrainConfig(iters=args.iters,
+                                    eval_every=max(200, args.iters // 10),
+                                    log=True)
+        print(f"=== training band {train_cnn.band_for_qp(qp)} (qp {qp}) ===")
+        params, history = train_cnn.train(
+            luma[n_valid:], np.full((n - n_valid,), qp, np.uint8),
+            depth4[n_valid:], cfg, valid=valid)
+        out_path = os.path.join(args.out,
+                                f"eth_cnn_{train_cnn.band_for_qp(qp)}.npz")
+        train_cnn.save_params(out_path, params)
+        with open(os.path.join(args.out, "training_log.txt"), "a") as f:
+            for rec in history:
+                f.write(f"{train_cnn.band_for_qp(qp)} {rec}\n")
+        print(f"saved {out_path}; final acc "
+              f"{history[-1]['acc_64']:.3f}/{history[-1]['acc_32']:.3f}/"
+              f"{history[-1]['acc_16']:.3f}")
+
+
+if __name__ == "__main__":
+    main()
