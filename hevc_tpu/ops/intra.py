@@ -342,3 +342,68 @@ def select_filtered(r, rf, mode, n):
     fmask = jnp.asarray(
         np.array([ref_filter_flag(m, n) for m in range(35)], bool))
     return jnp.where(jnp.take(fmask, mode), rf, r)
+
+
+def predict_selected_modes(r, modes, n, *, component="luma", bit_depth=8):
+    """Batched single-mode prediction with per-block traced modes.
+
+    r: [B, 4n+1] substituted refs (caller picks filtered/unfiltered per
+    block via select_filtered_batch); modes: [B] int32.
+    Returns [B, n, n] int32. Vectorized twin of predict_one_mode used by
+    the RD-refined search (one prediction per node instead of 35).
+    """
+    r = jnp.asarray(r, jnp.int32)
+    B = r.shape[0]
+    log2n = int(n).bit_length() - 1
+    left = r[:, 2 * n - 1::-1]
+    top = r[:, 2 * n + 1:]
+    corner = r[:, 2 * n]
+    maxv = (1 << bit_depth) - 1
+
+    i0s, i1s, fas = _all_mode_tables(n)
+    midx = jnp.clip(modes - 2, 0, 32)
+    i0 = jnp.take(jnp.asarray(i0s.reshape(33, -1)), midx, axis=0)  # [B,n*n]
+    i1 = jnp.take(jnp.asarray(i1s.reshape(33, -1)), midx, axis=0)
+    fa = jnp.take(jnp.asarray(fas.reshape(33, -1)), midx, axis=0)
+    p0 = jnp.take_along_axis(r, i0, axis=1).reshape(B, n, n)
+    p1 = jnp.take_along_axis(r, i1, axis=1).reshape(B, n, n)
+    fa = fa.reshape(B, n, n)
+    ang = ((32 - fa) * p0 + fa * p1 + 16) >> 5
+
+    xs = jnp.arange(n)
+    T = top[:, :n]
+    Lf = left[:, :n]
+    pl = ((n - 1 - xs)[None, None, :] * Lf[:, :, None]
+          + (xs + 1)[None, None, :] * top[:, n][:, None, None]
+          + (n - 1 - xs)[None, :, None] * T[:, None, :]
+          + (xs + 1)[None, :, None] * left[:, n][:, None, None]
+          + n) >> (log2n + 1)
+
+    dc = (T.sum(1) + Lf.sum(1) + n) >> (log2n + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (B, n, n))
+    if component == "luma" and n < 32:
+        row0 = (T + 3 * dc[:, None] + 2) >> 2
+        col0 = (Lf + 3 * dc[:, None] + 2) >> 2
+        c00 = (Lf[:, 0] + 2 * dc + T[:, 0] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(row0).at[:, :, 0].set(col0)
+        dcp = dcp.at[:, 0, 0].set(c00)
+        ver_col = jnp.clip(top[:, 0][:, None] + ((Lf - corner[:, None]) >> 1),
+                           0, maxv)
+        hor_row = jnp.clip(left[:, 0][:, None] + ((T - corner[:, None]) >> 1),
+                           0, maxv)
+        ang = jnp.where((modes == VER)[:, None, None],
+                        ang.at[:, :, 0].set(ver_col), ang)
+        ang = jnp.where((modes == HOR)[:, None, None],
+                        ang.at[:, 0, :].set(hor_row), ang)
+
+    out = jnp.where((modes == PLANAR)[:, None, None], pl,
+                    jnp.where((modes == DC)[:, None, None], dcp, ang))
+    return out
+
+
+def select_filtered_batch(r, rf, modes, n):
+    """Per-block filtered/unfiltered ref choice for traced modes [B]."""
+    fmask = jnp.asarray(
+        np.array([ref_filter_flag(m, n) for m in range(35)], bool))
+    sel = jnp.take(fmask, modes)
+    return jnp.where(sel[:, None], rf, r)

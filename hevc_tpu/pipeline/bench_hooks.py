@@ -64,23 +64,28 @@ def measure_hm_baseline(n_frames=2, force=False, timeout=3600):
     return result
 
 
-def bench_encode_1080p(n_frames=4, warmup=1):
-    """Full-pipeline AI 1080p benchmark; returns the bench.py JSON dict."""
+def bench_encode_1080p(n_frames=8, warmup_frames=8):
+    """Full-pipeline AI 1080p benchmark; returns the bench.py JSON dict.
+
+    Uses the frame-batched (vmapped) pipeline: AI frames are independent,
+    so batching them over the wavefront scan multiplies lane utilization
+    (the same program shards frames over multi-chip meshes)."""
     import jax
     from ..entropy import headers
     from ..models import eth_cnn
-    from .ai import AIEncoder
+    from ..parallel import frames as pframes
+    from ..parallel.mesh import make_mesh
 
     cfg = headers.EncoderConfig(width=1920, height=1080, qp=32)
     params = eth_cnn.init_params(jax.random.PRNGKey(0))
-    enc = AIEncoder(cfg, cnn_params=params)
-    frames = synth_1080p(n_frames + warmup)
+    mesh = make_mesh(1, model_axis=1)
+    enc = pframes.FrameParallelAI(cfg, mesh, cnn_params=params)
+    frames = synth_1080p(max(n_frames, warmup_frames))
 
-    # warmup (compile)
-    enc.encode(frames[:warmup], with_hash_sei=False)
+    enc.encode(frames[:warmup_frames], with_hash_sei=False)  # compile
 
     t0 = time.perf_counter()
-    stream, recons, stats = enc.encode(frames[warmup:], with_hash_sei=False)
+    stream, stats = enc.encode(frames[:n_frames], with_hash_sei=False)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 

@@ -85,9 +85,71 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
     return (best_mode.reshape(B, nd), best_satd.reshape(B, nd))
 
 
+def _bits_estimate(levels):
+    """Cheap coefficient-bit model: ~2*log2(|l|)+3 per nonzero + per-TU
+    floor. levels: [..., n, n] -> [...] float32."""
+    a = jnp.abs(levels)
+    nz = a > 0
+    bits = jnp.where(nz, 2.0 * jnp.log2(a.astype(jnp.float32) + 1.0) + 1.5,
+                     0.0)
+    return bits.sum((-2, -1)) + 4.0
+
+
+def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
+                   pad_w, pad_h, n_ctu_x):
+    """RD cost of each node coded as a leaf with its chosen mode:
+    SSE(reconstruction) + lambda * estimated bits (HM J = D + lambda*R,
+    TComRdCost::calcRdCost behavioral equivalent on original-pixel refs).
+    Returns [B, nd] float32."""
+    from ..ops import quant as quant_lib, transforms
+
+    B = ctu_origins.shape[0]
+    size = 64 >> depth
+    tu = 32 if size == 64 else size
+    offx, offy = _node_offsets(depth)
+    nd = offx.shape[0]
+    h, w = y_plane.shape
+
+    # TU origins: 4 TUs per 64-node, else 1
+    if size == 64:
+        tu_off = np.array([[0, 0], [32, 0], [0, 32], [32, 32]], np.int32)
+    else:
+        tu_off = np.array([[0, 0]], np.int32)
+    n_tu = tu_off.shape[0]
+    base = (ctu_origins[:, None, :]
+            + jnp.stack([jnp.asarray(offx), jnp.asarray(offy)], -1)[None])
+    origins = (base[:, :, None, :] + jnp.asarray(tu_off)[None, None]
+               ).reshape(B * nd * n_tu, 2)
+    modes_t = jnp.broadcast_to(modes.reshape(B, nd, 1),
+                               (B, nd, n_tu)).reshape(-1)
+
+    r = refs.prepare_refs(y_plane, origins, tu, pad_w, pad_h, n_ctu_x)
+    rf = intra.filter_refs(r)
+    r_use = intra.select_filtered_batch(r, rf, modes_t, tu)
+    pred = intra.predict_selected_modes(r_use, modes_t, tu)
+
+    ys = jnp.clip(origins[:, 1:2, None] + jnp.arange(tu)[None, :, None],
+                  0, h - 1)
+    xs = jnp.clip(origins[:, 0:1, None] + jnp.arange(tu)[None, None, :],
+                  0, w - 1)
+    orig = jnp.take(y_plane.reshape(-1), ys * w + xs, axis=0
+                    ).astype(jnp.int32)
+
+    resi = orig - pred
+    lvl = quant_lib.quantize(transforms.forward_transform(resi), qp)
+    rresi = transforms.inverse_transform(quant_lib.dequantize(lvl, qp))
+    rec = jnp.clip(pred + rresi, 0, 255)
+    d = (rec - orig).astype(jnp.float32)
+    sse = (d * d).sum((-2, -1))
+    bits = _bits_estimate(lvl)
+    cost = sse + lam * bits
+    return cost.reshape(B, nd, n_tu).sum(-1)
+
+
 def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                  hcpm_probs: Optional[jax.Array] = None,
-                 thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1)):
+                 thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
+                 rd_refine: bool = True):
     """Run the partition/mode search for all CTUs of one frame.
 
     y_plane: [pad_h, pad_w] luma (uint8/int32).
@@ -99,7 +161,8 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
     """
     B = ctu_origins.shape[0]
     y_plane = jnp.asarray(y_plane)
-    lam_sqrt = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+    lam = jnp.float32(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    lam_sqrt = jnp.sqrt(lam)
 
     modes = {}
     satds = {}
@@ -109,12 +172,23 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
         modes[d] = m
         satds[d] = s.astype(jnp.float32)
 
-    # per-CU overhead in SATD-cost units: mode (~5.5 bits) + flags (~4)
-    ovh = lam_sqrt * 9.5
-    cost3 = satds[3].reshape(B, 8, 8) + ovh
-    cost2 = satds[2].reshape(B, 4, 4) + ovh
-    cost1 = satds[1].reshape(B, 2, 2) + ovh
-    cost0 = satds[0].reshape(B, 1, 1) + ovh
+    if rd_refine:
+        # true RD leaf costs (SSE + lambda*bits) for the SATD-chosen mode;
+        # per-CU overhead: intra dir ~5.5 bits + flags/cbfs ~4 bits
+        ovh = lam * 9.5
+        costs = {d: _refined_costs(y_plane, ctu_origins, d, modes[d], qp,
+                                   lam, pad_w=pad_w, pad_h=pad_h,
+                                   n_ctu_x=n_ctu_x) + ovh
+                 for d in range(4)}
+        split_bits = lam * 2.0
+    else:
+        ovh = lam_sqrt * 9.5
+        costs = {d: satds[d] + ovh for d in range(4)}
+        split_bits = lam_sqrt * 2.0
+    cost3 = costs[3].reshape(B, 8, 8)
+    cost2 = costs[2].reshape(B, 4, 4)
+    cost1 = costs[1].reshape(B, 2, 2)
+    cost0 = costs[0].reshape(B, 1, 1)
 
     # forced splits: CU crossing the padded-frame boundary must split
     def forced_split(depth):
@@ -141,7 +215,6 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
         cur1 = split_ok1 = tr(B, 2, 2)
         cur2 = split_ok2 = tr(B, 4, 4)
 
-    split_bits = lam_sqrt * 2.0
 
     def pool4(c):
         b, n, _ = c.shape

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""BD-rate + speed evaluation of our AI encoder vs reference HM-16.5.
+
+Encodes a synthetic clip at QP 22/27/32/37 with both encoders and prints
+rate/PSNR curves, BD-rate, and encode-time speedup. Options gate the
+encoder with a trained ETH-CNN checkpoint.
+
+Usage: python tools/eval_bdrate.py [--width W] [--height H] [--frames N]
+         [--model models/eth_cnn_qp30~35.npz] [--no-hm] [--out results.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hevc_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--qps", type=int, nargs="+", default=[22, 27, 32, 37])
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--no-hm", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from hevc_tpu.evaltools import bdrate
+    from tests.test_e2e_bitstream import synth_frame
+
+    frames = [synth_frame(args.width, args.height, seed=100 + s)
+              for s in range(args.frames)]
+
+    params = None
+    if args.model:
+        from hevc_tpu.train.train_cnn import load_params
+        params = load_params(args.model)
+
+    res = bdrate.compare(frames, args.width, args.height, qps=args.qps,
+                         cnn_params=params, run_hm=not args.no_hm)
+    for i, qp in enumerate(res["qps"]):
+        line = (f"QP {qp}: ours {res['ours']['bits'][i]/1000:.1f} kb "
+                f"{res['ours']['psnr'][i]:.2f} dB "
+                f"{res['ours']['time'][i]:.2f}s")
+        if "hm" in res:
+            line += (f" | HM {res['hm']['bits'][i]/1000:.1f} kb "
+                     f"{res['hm']['psnr'][i]:.2f} dB "
+                     f"{res['hm']['time'][i]:.2f}s")
+        print(line)
+    if "bd_rate_vs_hm" in res:
+        print(f"BD-rate vs HM: {res['bd_rate_vs_hm']:+.2f}% "
+              f"(negative = we are better)")
+        print(f"speedup vs HM: {res['speedup_vs_hm']:.2f}x")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
