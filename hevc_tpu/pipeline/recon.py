@@ -258,13 +258,15 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
     planes, _ = jax.lax.scan(
         diag_step, planes,
         (jnp.asarray(cxs), jnp.asarray(cys), jnp.asarray(act)))
+    # narrow dtypes: recon fits u8, levels fit i16 — halves/quarters the
+    # device->host transfer that feeds the host CABAC stage.
     return FramePlanes(
-        recon_y=planes.recon_y[:pad_h, :pad_w],
-        recon_cb=planes.recon_cb[:pad_h // 2, :pad_w // 2],
-        recon_cr=planes.recon_cr[:pad_h // 2, :pad_w // 2],
-        coef_y=planes.coef_y[:pad_h, :pad_w],
-        coef_cb=planes.coef_cb[:pad_h // 2, :pad_w // 2],
-        coef_cr=planes.coef_cr[:pad_h // 2, :pad_w // 2],
+        recon_y=planes.recon_y[:pad_h, :pad_w].astype(jnp.uint8),
+        recon_cb=planes.recon_cb[:pad_h // 2, :pad_w // 2].astype(jnp.uint8),
+        recon_cr=planes.recon_cr[:pad_h // 2, :pad_w // 2].astype(jnp.uint8),
+        coef_y=planes.coef_y[:pad_h, :pad_w].astype(jnp.int16),
+        coef_cb=planes.coef_cb[:pad_h // 2, :pad_w // 2].astype(jnp.int16),
+        coef_cr=planes.coef_cr[:pad_h // 2, :pad_w // 2].astype(jnp.int16),
     )
 
 
