@@ -97,3 +97,14 @@ def test_ai_pipeline_e2e_hm_decode(tmp_path):
     # quality sanity: recon should be close to the original
     p = psnr(dec[0].y, frames[0].y)
     assert p > 28.0, p
+
+
+def test_threshold_file_end_to_end():
+    """Thr_info.txt-style parsing drives the gating (AI order)."""
+    thr = hcpm.parse_thresholds("0.0 -0.1 0.0 -0.1 0.0 -0.1", order="ai")
+    cfg = headers.EncoderConfig(width=64, height=64, qp=32)
+    pf = pad_frame(synth_frame(64, 64, seed=4), 64, 64)
+    params = eth_cnn.init_params(jax.random.PRNGKey(0))
+    enc = AIEncoder(cfg, cnn_params=params, thresholds=thr)
+    d8, _ = enc.decide_frame(pf.y)
+    assert (d8 == 3).all()   # up=0 everywhere -> always split

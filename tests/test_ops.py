@@ -256,3 +256,42 @@ def test_satd_parity_and_zero():
     np.testing.assert_array_equal(
         np.asarray(cost.sad(jnp.asarray(a), jnp.asarray(b))),
         np.abs(a.astype(np.int64) - b).sum((-2, -1)))
+
+
+@pytest.mark.parametrize("n", [8, 16, 32])
+def test_predict_selected_modes_matches_reference(n):
+    rng = np.random.RandomState(n + 1)
+    B = 12
+    r = rng.randint(0, 256, size=(B, 4 * n + 1)).astype(np.int32)
+    modes = rng.randint(0, 35, size=(B,)).astype(np.int32)
+    got = np.asarray(jax.jit(
+        lambda rr, mm: intra.predict_selected_modes(rr, mm, n))(
+        jnp.asarray(r), jnp.asarray(modes)))
+    for b in range(B):
+        ref = intra.predict_np(r[b:b + 1], int(modes[b]), n,
+                               component="luma")[0]
+        np.testing.assert_array_equal(got[b], ref, err_msg=f"b={b}")
+
+
+def test_predict_one_mode_matches_reference():
+    n = 16
+    rng = np.random.RandomState(5)
+    r = rng.randint(0, 256, size=(1, 4 * n + 1)).astype(np.int32)
+    for mode in (0, 1, 2, 10, 17, 26, 34):
+        got = np.asarray(intra.predict_one_mode(
+            jnp.asarray(r[0]), jnp.int32(mode), n))
+        ref = intra.predict_np(r, mode, n, component="luma")[0]
+        np.testing.assert_array_equal(got, ref, err_msg=f"mode={mode}")
+
+
+def test_select_filtered_batch():
+    n = 16
+    rng = np.random.RandomState(6)
+    r = rng.randint(0, 256, (3, 4 * n + 1)).astype(np.int32)
+    rf = intra.filter_refs_np(r)
+    modes = np.array([1, 18, 26], np.int32)  # DC: unfiltered; 18: filt; 26: unfilt
+    out = np.asarray(intra.select_filtered_batch(
+        jnp.asarray(r), jnp.asarray(rf), jnp.asarray(modes), n))
+    np.testing.assert_array_equal(out[0], r[0])
+    np.testing.assert_array_equal(out[1], rf[1])
+    np.testing.assert_array_equal(out[2], r[2])
