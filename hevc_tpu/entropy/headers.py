@@ -20,6 +20,7 @@ class EncoderConfig:
     qp: int = 32
     bit_depth: int = 8
     level_idc: int = 120          # level 4.0
+    deblock: bool = False         # in-loop deblocking (ops/deblock.py)
     # fixed toolset
     ctu_size: int = 64
     min_cu: int = 8
@@ -157,7 +158,10 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.u(1, 1)        # pps_loop_filter_across_slices_enabled_flag
     bw.u(1, 1)        # deblocking_filter_control_present_flag
     bw.u(0, 1)        # deblocking_filter_override_enabled_flag
-    bw.u(1, 1)        # pps_deblocking_filter_disabled_flag
+    bw.u(0 if cfg.deblock else 1, 1)  # pps_deblocking_filter_disabled_flag
+    if cfg.deblock:
+        bw.se(0)      # pps_beta_offset_div2
+        bw.se(0)      # pps_tc_offset_div2
     bw.u(0, 1)        # pps_scaling_list_data_present_flag
     bw.u(0, 1)        # lists_modification_present_flag
     bw.ue(0)          # log2_parallel_merge_level_minus2
@@ -176,6 +180,10 @@ def start_idr_slice(cfg: EncoderConfig, slice_qp: int) -> BitWriter:
     bw.ue(0)          # slice_pic_parameter_set_id
     bw.ue(2)          # slice_type = I
     bw.se(slice_qp - cfg.qp)  # slice_qp_delta (relative to init_qp)
+    if cfg.deblock:
+        # present when pps_loop_filter_across_slices_enabled_flag and
+        # deblocking is not disabled for the slice (7.3.6.1)
+        bw.u(1, 1)    # slice_loop_filter_across_slices_enabled_flag
     bw.align_one_then_zero()  # byte_alignment before slice data
     return bw
 

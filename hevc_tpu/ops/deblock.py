@@ -1,0 +1,211 @@
+"""HEVC deblocking filter (H.265 8.7.2), TPU-vectorized.
+
+Behavioral counterpart: HM TComLoopFilter.cpp:130 (loopFilterPic).
+
+Deblocking reads at most 4 samples each side of an 8-aligned edge, and
+edges are 8 apart — regions touch but never overlap, so *every* vertical
+edge of the picture filters in one tensor op (roll + reshape into
+[.., W/8, 8] windows), then every horizontal edge on the result. In
+all-intra streams bS is always 2, and intra prediction uses unfiltered
+reconstruction, so the filter is a pure post-pass on the recon planes
+(the bitstream only changes via the PPS deblocking flags).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Table 8-12 (beta') and tc' tables
+BETA_TABLE = np.array(
+    [0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22,
+                24, 26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50,
+                52, 54, 56, 58, 60, 62, 64], np.int32)
+TC_TABLE = np.array(
+    [0] * 18 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+                4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
+                22, 24], np.int32)
+
+
+def tu_size8(depth8):
+    """[H8, W8] TU size (min(cu,32)) per 8x8 cell from the depth map."""
+    cu = 64 >> jnp.asarray(depth8)
+    return jnp.minimum(cu, 32)
+
+
+def edge_masks(depth8):
+    """(vert [H8, W8], horz [H8, W8]) bool: does an edge run along the
+    left / top border of each 8x8 cell (TU/CU boundaries, bS=2 intra)."""
+    t8 = tu_size8(depth8)
+    h8, w8 = t8.shape
+    x8 = jnp.arange(w8)[None, :]
+    y8 = jnp.arange(h8)[:, None]
+    vert = ((x8 * 8) % t8 == 0) & (x8 > 0)
+    horz = ((y8 * 8) % t8 == 0) & (y8 > 0)
+    return vert, horz
+
+
+def _filter_luma_windows(win, edge_on, beta, tc):
+    """Filter 8-wide windows around vertical edges.
+
+    win: [G, 4, 8] int32 — G groups of 4 rows; columns p3..p0,q0..q3.
+    edge_on: [G] bool. Returns filtered [G, 4, 8].
+    """
+    p = win
+    p3, p2, p1, p0 = p[:, :, 0], p[:, :, 1], p[:, :, 2], p[:, :, 3]
+    q0, q1, q2, q3 = p[:, :, 4], p[:, :, 5], p[:, :, 6], p[:, :, 7]
+
+    dp0 = jnp.abs(p2[:, 0] - 2 * p1[:, 0] + p0[:, 0])
+    dp3 = jnp.abs(p2[:, 3] - 2 * p1[:, 3] + p0[:, 3])
+    dq0 = jnp.abs(q2[:, 0] - 2 * q1[:, 0] + q0[:, 0])
+    dq3 = jnp.abs(q2[:, 3] - 2 * q1[:, 3] + q0[:, 3])
+    dpq0 = dp0 + dq0
+    dpq3 = dp3 + dq3
+    dp = dp0 + dp3
+    dq = dq0 + dq3
+    d = dpq0 + dpq3
+    filter_on = edge_on & (d < beta)
+
+    def strong_cond(i):
+        sp = jnp.abs(p3[:, i] - p0[:, i]) + jnp.abs(q0[:, i] - q3[:, i])
+        spq = jnp.abs(p0[:, i] - q0[:, i])
+        dd = dpq0 if i == 0 else dpq3
+        return ((2 * dd < (beta >> 2))
+                & (sp < (beta >> 3))
+                & (spq < ((5 * tc + 1) >> 1)))
+
+    strong = filter_on & strong_cond(0) & strong_cond(3)
+
+    # strong filter (clipped +-2tc around original)
+    def cl(v, ref):
+        return jnp.clip(v, ref - 2 * tc[:, None], ref + 2 * tc[:, None])
+
+    sp0 = cl((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0)
+    sp1 = cl((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = cl((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = cl((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0)
+    sq1 = cl((p0 + q0 + q1 + q2 + 2) >> 2, q1)
+    sq2 = cl((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2)
+
+    # weak filter
+    side_thresh = (beta + (beta >> 1)) >> 3
+    dEp = (dp < side_thresh)
+    dEq = (dq < side_thresh)
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    weak_on = jnp.abs(delta) < (10 * tc)[:, None]
+    dlt = jnp.clip(delta, -tc[:, None], tc[:, None])
+    wp0 = jnp.clip(p0 + dlt, 0, 255)
+    wq0 = jnp.clip(q0 - dlt, 0, 255)
+    tc2 = (tc >> 1)[:, None]
+    dp1v = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tc2, tc2)
+    dq1v = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tc2, tc2)
+    wp1 = jnp.clip(p1 + dp1v, 0, 255)
+    wq1 = jnp.clip(q1 + dq1v, 0, 255)
+
+    s = strong[:, None]
+    w = (filter_on & ~strong)[:, None] & weak_on
+    wep = w & dEp[:, None]
+    weq = w & dEq[:, None]
+
+    out = p
+    out = out.at[:, :, 1].set(jnp.where(s, sp2, p2))
+    out = out.at[:, :, 2].set(jnp.where(s, sp1, jnp.where(wep, wp1, p1)))
+    out = out.at[:, :, 3].set(jnp.where(s, sp0, jnp.where(w, wp0, p0)))
+    out = out.at[:, :, 4].set(jnp.where(s, sq0, jnp.where(w, wq0, q0)))
+    out = out.at[:, :, 5].set(jnp.where(s, sq1, jnp.where(weq, wq1, q1)))
+    out = out.at[:, :, 6].set(jnp.where(s, sq2, q2))
+    return out
+
+
+def _deblock_luma_vertical(plane, vert_mask, qp):
+    """Filter all vertical luma edges. plane: [H, W] int32."""
+    H, W = plane.shape
+    beta = int(BETA_TABLE[min(max(qp, 0), 51)])
+    tc = int(TC_TABLE[min(max(qp + 2, 0), 53)])  # bS=2: Q = qp + 2
+    rolled = jnp.roll(plane, 4, axis=1)          # col 8k-4 -> block k col 0
+    win = rolled.reshape(H, W // 8, 8)
+    # group rows by 4: [H/4, 4, W/8, 8] -> [W/8 * H/4, 4, 8]
+    g = win.reshape(H // 4, 4, W // 8, 8).transpose(2, 0, 1, 3)
+    g = g.reshape(-1, 4, 8)
+    # edge flags per (x8, 4-row group): vert_mask is per 8x8 cell
+    vm = jnp.repeat(vert_mask.transpose(1, 0), 2, axis=1)  # [W8, H/4]
+    edge_on = vm.reshape(-1)
+    betas = jnp.full_like(edge_on, beta, jnp.int32)
+    tcs = jnp.full_like(edge_on, tc, jnp.int32)
+    out = _filter_luma_windows(g, edge_on, betas, tcs)
+    out = out.reshape(W // 8, H // 4, 4, 8).transpose(1, 2, 0, 3)
+    out = out.reshape(H, W)
+    return jnp.roll(out, -4, axis=1)
+
+
+def deblock_luma(plane, depth8, qp: int):
+    """Full luma deblock: vertical edges then horizontal edges."""
+    plane = jnp.asarray(plane, jnp.int32)
+    vert, horz = edge_masks(depth8)
+    out = _deblock_luma_vertical(plane, vert, qp)
+    out = _deblock_luma_vertical(out.T, horz.T, qp).T
+    return out
+
+
+def _filter_chroma_windows(win, edge_on, tc):
+    """win: [G, 4, 4] columns p1,p0,q0,q1 (4-row groups)."""
+    p1, p0 = win[:, :, 0], win[:, :, 1]
+    q0, q1 = win[:, :, 2], win[:, :, 3]
+    delta = jnp.clip(((((q0 - p0) << 2) + p1 - q1 + 4) >> 3),
+                     -tc[:, None], tc[:, None])
+    np0 = jnp.clip(p0 + delta, 0, 255)
+    nq0 = jnp.clip(q0 - delta, 0, 255)
+    e = edge_on[:, None]
+    out = win
+    out = out.at[:, :, 1].set(jnp.where(e, np0, p0))
+    out = out.at[:, :, 2].set(jnp.where(e, nq0, q0))
+    return out
+
+
+def _deblock_chroma_vertical(plane, edge16_mask, cqp):
+    """Chroma vertical edges: every 8 chroma samples where the co-located
+    luma 16-grid edge exists. plane: [Hc, Wc]; edge16_mask: [Hc//8, Wc//8]
+    (bool per 8-chroma cell == 16-luma cell)."""
+    H, W = plane.shape
+    tc = int(TC_TABLE[min(max(cqp + 2, 0), 53)])
+    rolled = jnp.roll(plane, 2, axis=1)
+    win = rolled.reshape(H, W // 8, 8)[:, :, :4]  # p1 p0 q0 q1
+    g = win.reshape(H // 4, 4, W // 8, 4).transpose(2, 0, 1, 3)
+    g = g.reshape(-1, 4, 4)
+    vm = jnp.repeat(edge16_mask.transpose(1, 0), 2, axis=1)  # [W8c, H/4]
+    edge_on = vm.reshape(-1)
+    tcs = jnp.full_like(edge_on, tc, jnp.int32)
+    out4 = _filter_chroma_windows(g, edge_on, tcs)
+    out4 = out4.reshape(W // 8, H // 4, 4, 4).transpose(1, 2, 0, 3)
+    full = jnp.roll(plane, 2, axis=1).reshape(H, W // 8, 8)
+    full = full.at[:, :, :4].set(out4.reshape(H, W // 8, 4))
+    return jnp.roll(full.reshape(H, W), -2, axis=1)
+
+
+def chroma_edge_masks(depth8):
+    """Edges on the 16-luma grid for chroma: [H16, W16] bools."""
+    vert, horz = edge_masks(depth8)
+    # chroma filters only edges aligned to the 16-luma grid
+    v16 = vert[::2, ::2] & (jnp.arange(vert.shape[1] // 2)[None, :] > 0)
+    h16 = horz[::2, ::2] & (jnp.arange(horz.shape[0] // 2)[:, None] > 0)
+    # additionally require the luma edge at even 8-cells (16-aligned)
+    return vert[::2, ::2], horz[::2, ::2]
+
+
+def deblock_chroma(plane, depth8, cqp: int):
+    plane = jnp.asarray(plane, jnp.int32)
+    v16, h16 = chroma_edge_masks(depth8)
+    out = _deblock_chroma_vertical(plane, v16, cqp)
+    out = _deblock_chroma_vertical(out.T, h16.T, cqp).T
+    return out
+
+
+def deblock_frame(recon_y, recon_cb, recon_cr, depth8, qp: int):
+    """Deblock all planes (post-pass; output/hash picture)."""
+    from . import quant as quant_lib
+    cqp = quant_lib.chroma_qp(qp)
+    y = deblock_luma(recon_y, depth8, qp)
+    cb = deblock_chroma(recon_cb, depth8, cqp)
+    cr = deblock_chroma(recon_cr, depth8, cqp)
+    return y, cb, cr

@@ -115,9 +115,17 @@ class AIEncoder:
                          coef_y=np.asarray(planes.coef_y),
                          coef_cb=np.asarray(planes.coef_cb),
                          coef_cr=np.asarray(planes.coef_cr))
-        rec = Frame(np.asarray(planes.recon_y).astype(np.uint8),
-                    np.asarray(planes.recon_cb).astype(np.uint8),
-                    np.asarray(planes.recon_cr).astype(np.uint8))
+        if cfg.deblock:
+            from ..ops import deblock as dbk
+            y, cb, cr = dbk.deblock_frame(planes.recon_y, planes.recon_cb,
+                                          planes.recon_cr, depth8, cfg.qp)
+            rec = Frame(np.asarray(y).astype(np.uint8),
+                        np.asarray(cb).astype(np.uint8),
+                        np.asarray(cr).astype(np.uint8))
+        else:
+            rec = Frame(np.asarray(planes.recon_y).astype(np.uint8),
+                        np.asarray(planes.recon_cb).astype(np.uint8),
+                        np.asarray(planes.recon_cr).astype(np.uint8))
         return decisions, rec
 
 

@@ -20,7 +20,12 @@ EPS = 1e-12
 
 
 def _balanced_bce(y, p, valid):
-    """Class-balanced masked BCE. y, p, valid: same shape, float32."""
+    """Class-balanced masked BCE. y, p, valid: same shape, float32.
+
+    p is clamped away from {0,1}: saturated sigmoids otherwise produce
+    unbounded 1/p gradients through the explicit log (the late-training
+    NaN spikes seen at high QP)."""
+    p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
     pos = -(y * jnp.log(p + EPS)) * valid
     neg = -((1.0 - y) * jnp.log(1.0 - p + EPS)) * valid
     n_pos = jnp.count_nonzero(y * valid).astype(jnp.float32)

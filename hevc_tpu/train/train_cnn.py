@@ -31,6 +31,8 @@ class TrainConfig:
     momentum: float = 0.9
     decay_rate: float = 0.3163
     decay_steps: int = 250_000
+    grad_clip: float = 10.0   # stability guard (reference has none; high-QP
+                              # label skew can blow up the balanced loss)
     batch_size: int = 64
     iters: int = 10_000
     eval_every: int = 1000
@@ -76,11 +78,13 @@ def train(luma, qp, depth4, cfg: TrainConfig,
 
     sched = optax.exponential_decay(cfg.lr, cfg.decay_steps, cfg.decay_rate,
                                     staircase=True)
-    tx = optax.sgd(learning_rate=sched, momentum=cfg.momentum)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                     optax.sgd(learning_rate=sched, momentum=cfg.momentum))
     opt_state = tx.init(params)
     step_fn = make_train_step(tx)
 
     history = []
+    best = (np.inf, params)
     t0 = time.time()
     gen = dataset.batches(luma, qp, depth4, cfg.batch_size, rng, cfg.iters)
     for it, (bl, bq, bd) in enumerate(gen):
@@ -105,12 +109,15 @@ def train(luma, qp, depth4, cfg: TrainConfig,
                    "acc_16": float(vaux["acc_16"]),
                    "elapsed_s": time.time() - t0}
             history.append(rec)
+            if np.isfinite(rec["valid_loss"]) and rec["valid_loss"] < best[0]:
+                best = (rec["valid_loss"], jax.tree.map(lambda a: a, params))
             if cfg.log:
                 print(f"it {rec['iter']}: loss {rec['train_loss']:.4f} "
                       f"valid {rec['valid_loss']:.4f} acc "
                       f"{rec['acc_64']:.3f}/{rec['acc_32']:.3f}/"
                       f"{rec['acc_16']:.3f}")
-    return params, history
+    # return the best-by-validation params (guards against late spikes)
+    return best[1], history
 
 
 def save_params(path, params):

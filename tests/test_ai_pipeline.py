@@ -108,3 +108,25 @@ def test_threshold_file_end_to_end():
     enc = AIEncoder(cfg, cnn_params=params, thresholds=thr)
     d8, _ = enc.decide_frame(pf.y)
     assert (d8 == 3).all()   # up=0 everywhere -> always split
+
+
+@pytest.mark.skipif(not hm.decoder_available(), reason="HM decoder missing")
+def test_deblocking_normative(tmp_path):
+    """With PPS deblocking enabled, our deblocked recon must equal the
+    reference decoder's output byte-for-byte (proves ops/deblock.py is
+    normative)."""
+    cfg = headers.EncoderConfig(width=128, height=128, qp=37, deblock=True)
+    frames = [synth_frame(128, 128, seed=21)]
+    enc = AIEncoder(cfg)
+    stream, recons, _ = enc.encode(frames)
+    rc, log, rec_path = hm.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
+    dec = read_yuv420(rec_path, cfg.width, cfg.height)
+    np.testing.assert_array_equal(dec[0].y, recons[0].y)
+    np.testing.assert_array_equal(dec[0].cb, recons[0].cb)
+    np.testing.assert_array_equal(dec[0].cr, recons[0].cr)
+    # and deblocking must actually change something at high QP
+    enc2 = AIEncoder(headers.EncoderConfig(width=128, height=128, qp=37))
+    _, recons2, _ = enc2.encode(frames)
+    assert not np.array_equal(recons[0].y, recons2[0].y)

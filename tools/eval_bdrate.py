@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--qps", type=int, nargs="+", default=[22, 27, 32, 37])
     ap.add_argument("--model", default=None)
+    ap.add_argument("--models-dir", default=None,
+                    help="pick eth_cnn_<band>.npz per QP from this dir")
     ap.add_argument("--no-hm", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -38,13 +40,36 @@ def main():
     frames = [synth_frame(args.width, args.height, seed=100 + s)
               for s in range(args.frames)]
 
-    params = None
-    if args.model:
-        from hevc_tpu.train.train_cnn import load_params
-        params = load_params(args.model)
+    from hevc_tpu.train.train_cnn import load_params, band_for_qp
 
-    res = bdrate.compare(frames, args.width, args.height, qps=args.qps,
-                         cnn_params=params, run_hm=not args.no_hm)
+    def params_for_qp(qp):
+        if args.models_dir:
+            p = os.path.join(args.models_dir,
+                             f"eth_cnn_{band_for_qp(qp)}.npz")
+            return load_params(p)
+        if args.model:
+            return load_params(args.model)
+        return None
+
+    # run per-QP with band-selected model
+    ours = {"bits": [], "psnr": [], "time": []}
+    hm_r = {"bits": [], "psnr": [], "time": []}
+    for qp in args.qps:
+        b, p, t = bdrate.encode_ours(frames, args.width, args.height, qp,
+                                     params_for_qp(qp))
+        ours["bits"].append(b); ours["psnr"].append(p); ours["time"].append(t)
+        if not args.no_hm:
+            b, p, t = bdrate.encode_hm(frames, args.width, args.height, qp)
+            hm_r["bits"].append(b); hm_r["psnr"].append(p)
+            hm_r["time"].append(t)
+    res = {"qps": list(args.qps), "ours": ours}
+    if not args.no_hm:
+        import numpy as np
+        res["hm"] = hm_r
+        res["bd_rate_vs_hm"] = bdrate.bd_rate(
+            hm_r["bits"], hm_r["psnr"], ours["bits"], ours["psnr"])
+        res["speedup_vs_hm"] = float(np.sum(hm_r["time"])
+                                     / np.sum(ours["time"]))
     for i, qp in enumerate(res["qps"]):
         line = (f"QP {qp}: ours {res['ours']['bits'][i]/1000:.1f} kb "
                 f"{res['ours']['psnr'][i]:.2f} dB "
