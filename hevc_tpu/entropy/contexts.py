@@ -112,6 +112,9 @@ INIT_VALUES = {
     "transform_skip": [[139, 139], [139, 139], [139, 139]],
     "chroma_qp_adj_flag": [[154], [154], [154]],
     "chroma_qp_adj_idc": [[154], [154], [154]],
+    # appended after the I-slice set so native/hevc_entropy.cpp offsets
+    # stay valid (it only codes I slices)
+    "qt_root_cbf": [[CNU], [79], [79]],
 }
 
 

@@ -204,3 +204,31 @@ def write_hash_sei(md5_y: bytes, md5_cb: bytes, md5_cr: bytes) -> bytes:
             bw.u(byte, 8)
     bw.align_one_then_zero()     # rbsp trailing
     return nal_unit(NAL_SUFFIX_SEI, bw.get_bytes())
+
+
+def start_p_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
+    """Slice header for a one-slice P picture referencing the previous
+    frame (slice-level RPS: one negative pic at delta 1)."""
+    bw = BitWriter()
+    bw.u(1, 1)        # first_slice_segment_in_pic_flag
+    bw.ue(0)          # slice_pic_parameter_set_id
+    bw.ue(1)          # slice_type = P
+    bw.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
+    bw.u(0, 1)        # short_term_ref_pic_set_sps_flag
+    # st_ref_pic_set(0): no inter-RPS prediction (idx 0)
+    bw.ue(1)          # num_negative_pics
+    bw.ue(0)          # num_positive_pics
+    bw.ue(0)          # delta_poc_s0_minus1 (= previous picture)
+    bw.u(1, 1)        # used_by_curr_pic_s0_flag
+    bw.u(0, 1)        # num_ref_idx_active_override_flag
+    bw.ue(0)          # five_minus_max_num_merge_cand (MaxNumMergeCand = 5)
+    bw.se(slice_qp - cfg.qp)  # slice_qp_delta
+    if cfg.deblock:
+        bw.u(1, 1)    # slice_loop_filter_across_slices_enabled_flag
+    bw.align_one_then_zero()
+    return bw
+
+
+def finish_p_slice_nal(bw: BitWriter) -> bytes:
+    from .bitstream import NAL_TRAIL_R
+    return nal_unit(NAL_TRAIL_R, bw.get_bytes())

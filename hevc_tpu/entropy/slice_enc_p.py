@@ -1,0 +1,218 @@
+"""P-slice entropy encoding: inter CUs with AMVP + MVD (no merge).
+
+Minimal conformant Low-Delay-P coding layer (v0): every CU is inter
+2Nx2N with one reference (the previous picture), merge_flag=0,
+mvp_l0_flag=0; MVDs are coded against the normative AMVP candidate 0
+(H.265 8.5.3.2.6-7 — the same-reference fast path, since all pictures
+reference their immediate predecessor no MV scaling is involved).
+
+Behavioral counterparts: HM TEncSbac codeSkipFlag/codeMergeFlag/codeMvd/
+codeQtRootCbf; TComDataCU::fillMvpCand.
+
+Decisions consumed per frame:
+  depth8 [H8, W8]   CU depths (0 except boundary-forced splits)
+  mvq8   [H8, W8, 2] quarter-pel MVs per 8x8 unit
+  coef_y/cb/cr      quantized coefficient planes (TUs in place)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import zorder
+from . import residual, scan as scanlib
+from .cabac import CabacEncoder
+from .contexts import ContextModels
+
+
+def amvp_cand0(mvq8, x0, y0, w, h, pad_w, pad_h, zmap):
+    """Normative first AMVP candidate for a PB at (x0,y0,w,h) (luma).
+
+    All coded units are inter with the same reference; availability is
+    picture bounds + z-scan order (6.4.1)."""
+    cur_z = zmap[y0 >> 2, x0 >> 2]
+
+    def avail(xn, yn):
+        if xn < 0 or yn < 0 or xn >= pad_w or yn >= pad_h:
+            return False
+        return zmap[yn >> 2, xn >> 2] < cur_z
+
+    def mv_at(xn, yn):
+        return (int(mvq8[yn >> 3, xn >> 3, 0]), int(mvq8[yn >> 3, xn >> 3, 1]))
+
+    mv_a = None
+    for (xn, yn) in ((x0 - 1, y0 + h), (x0 - 1, y0 + h - 1)):   # A0, A1
+        if avail(xn, yn):
+            mv_a = mv_at(xn, yn)
+            break
+    mv_b = None
+    for (xn, yn) in ((x0 + w, y0 - 1), (x0 + w - 1, y0 - 1),
+                     (x0 - 1, y0 - 1)):                          # B0, B1, B2
+        if avail(xn, yn):
+            mv_b = mv_at(xn, yn)
+            break
+    if mv_a is not None:
+        return mv_a
+    if mv_b is not None:
+        return mv_b
+    return (0, 0)
+
+
+class PSliceEncoder:
+    def __init__(self, cfg, frame_qp: int):
+        self.cfg = cfg
+        self.qp = frame_qp
+
+    def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr):
+        self.depth8 = np.asarray(depth8)
+        self.mvq8 = np.asarray(mvq8)
+        self.coef_y = np.asarray(coef_y)
+        self.coef_cb = np.asarray(coef_cb)
+        self.coef_cr = np.asarray(coef_cr)
+        self.W = self.cfg.pad_width
+        self.H = self.cfg.pad_height
+        self.zmap = zorder.frame_zmap(self.W, self.H)
+
+        ctx = ContextModels(init_type=1, qp=self.qp)   # P-slice init
+        enc = CabacEncoder(bw)
+        self.ctx = ctx
+        self.enc = enc
+
+        nx, ny = self.cfg.ctus_x, self.cfg.ctus_y
+        n_ctu = nx * ny
+        for ci in range(n_ctu):
+            cy, cx = divmod(ci, nx)
+            self._coding_quadtree(cx * 64, cy * 64, 64, 0)
+            enc.encode_terminate(1 if ci == n_ctu - 1 else 0)
+
+    def _cu_depth_at(self, x, y):
+        return int(self.depth8[y >> 3, x >> 3])
+
+    def _coding_quadtree(self, x0, y0, size, depth):
+        inside = (x0 + size <= self.W) and (y0 + size <= self.H)
+        split = self._cu_depth_at(x0, y0) > depth
+        if inside and size > 8:
+            inc = 0
+            if x0 > 0:
+                inc += int(self._cu_depth_at(x0 - 1, y0) > depth)
+            if y0 > 0:
+                inc += int(self._cu_depth_at(x0, y0 - 1) > depth)
+            self.enc.encode_bin(self.ctx, self.ctx.idx("split_cu", inc),
+                                int(split))
+        if (inside and split) or (not inside and size > 8):
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < self.W and y1 < self.H:
+                    self._coding_quadtree(x1, y1, h, depth + 1)
+        else:
+            self._coding_unit(x0, y0, size)
+
+    def _write_eg1(self, v):
+        """Exp-Golomb k=1 bypass (abs_mvd_minus2)."""
+        count = 1
+        while v >= (1 << count):
+            self.enc.encode_bypass(1)
+            v -= (1 << count)
+            count += 1
+        self.enc.encode_bypass(0)
+        self.enc.encode_bypass_bins(v, count)
+
+    def _coding_unit(self, x0, y0, size):
+        enc, ctx = self.enc, self.ctx
+        # cu_skip_flag: never skipped; neighbours are all non-skip -> ctx 0
+        enc.encode_bin(ctx, ctx.idx("skip_flag", 0), 0)
+        # pred_mode_flag: inter
+        enc.encode_bin(ctx, ctx.idx("pred_mode"), 0)
+        # part_mode: 2Nx2N
+        enc.encode_bin(ctx, ctx.idx("part_mode", 0), 1)
+        # merge_flag = 0
+        enc.encode_bin(ctx, ctx.idx("merge_flag"), 0)
+        # (P slice, 1 active ref: no inter_pred_idc, no ref_idx)
+        mv = (int(self.mvq8[y0 >> 3, x0 >> 3, 0]),
+              int(self.mvq8[y0 >> 3, x0 >> 3, 1]))
+        mvp = amvp_cand0(self.mvq8, x0, y0, size, size, self.W, self.H,
+                         self.zmap)
+        mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+        ax, ay = abs(mvd[0]), abs(mvd[1])
+        enc.encode_bin(ctx, ctx.idx("mvd", 0), int(ax > 0))
+        enc.encode_bin(ctx, ctx.idx("mvd", 0), int(ay > 0))
+        if ax > 0:
+            enc.encode_bin(ctx, ctx.idx("mvd", 1), int(ax > 1))
+        if ay > 0:
+            enc.encode_bin(ctx, ctx.idx("mvd", 1), int(ay > 1))
+        if ax > 0:
+            if ax > 1:
+                self._write_eg1(ax - 2)
+            enc.encode_bypass(int(mvd[0] < 0))
+        if ay > 0:
+            if ay > 1:
+                self._write_eg1(ay - 2)
+            enc.encode_bypass(int(mvd[1] < 0))
+        # mvp_l0_flag = 0
+        enc.encode_bin(ctx, ctx.idx("mvp_idx"), 0)
+
+        cbf_l = self._tu_cbf(0, x0, y0, size)
+        cbf_cb = self._tu_cbf(1, x0, y0, size)
+        cbf_cr = self._tu_cbf(2, x0, y0, size)
+        root_cbf = int(cbf_l or cbf_cb or cbf_cr)
+        enc.encode_bin(ctx, ctx.idx("qt_root_cbf"), root_cbf)
+        if not root_cbf:
+            return
+        self._transform_tree(x0, y0, size, cbf_cb, cbf_cr)
+
+    def _tu_cbf(self, plane, x0, y0, size):
+        if plane == 0:
+            blk = self.coef_y[y0:y0 + size, x0:x0 + size]
+        elif plane == 1:
+            blk = self.coef_cb[y0 >> 1:(y0 + size) >> 1,
+                               x0 >> 1:(x0 + size) >> 1]
+        else:
+            blk = self.coef_cr[y0 >> 1:(y0 + size) >> 1,
+                               x0 >> 1:(x0 + size) >> 1]
+        return int(np.any(blk != 0))
+
+    def _transform_tree(self, x0, y0, size, cbf_cb, cbf_cr):
+        enc, ctx = self.enc, self.ctx
+        split = size > 32
+        enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", 0), cbf_cb)
+        enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", 0), cbf_cr)
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                ccb = self._tu_cbf(1, x1, y1, h) if cbf_cb else 0
+                ccr = self._tu_cbf(2, x1, y1, h) if cbf_cr else 0
+                if cbf_cb:
+                    enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", 1), ccb)
+                if cbf_cr:
+                    enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", 1), ccr)
+                cl = self._tu_cbf(0, x1, y1, h)
+                enc.encode_bin(ctx, ctx.idx("qt_cbf_luma", 0), cl)
+                self._transform_unit(x1, y1, h, cl, ccb, ccr)
+        else:
+            cl = self._tu_cbf(0, x0, y0, size)
+            if cbf_cb or cbf_cr:
+                # inter leaf at trafoDepth 0: cbf_luma coded
+                enc.encode_bin(ctx, ctx.idx("qt_cbf_luma", 1), cl)
+            # else: cbf_luma inferred 1 (rqt_root_cbf was 1)
+            self._transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, x0, y0, size, cl, ccb, ccr):
+        if not (cl or ccb or ccr):
+            return
+        if cl:
+            blk = self.coef_y[y0:y0 + size, x0:x0 + size]
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=True,
+                                   scan_type=scanlib.SCAN_DIAG)
+        half = size >> 1
+        if ccb:
+            blk = self.coef_cb[y0 >> 1:(y0 >> 1) + half,
+                               x0 >> 1:(x0 >> 1) + half]
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=False,
+                                   scan_type=scanlib.SCAN_DIAG)
+        if ccr:
+            blk = self.coef_cr[y0 >> 1:(y0 >> 1) + half,
+                               x0 >> 1:(x0 >> 1) + half]
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=False,
+                                   scan_type=scanlib.SCAN_DIAG)

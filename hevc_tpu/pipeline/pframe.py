@@ -1,0 +1,160 @@
+"""P-frame coding (device compute): ME + MC + residual transform + recon.
+
+Minimal conformant LDP v0: every CTU is one inter 2Nx2N 64x64 CU
+referencing the previous reconstructed picture (the reference pre-encode
+shape, HM-16.5_Resi_Pre/TEncCu.cpp:388-397, promoted to a real coded
+frame). Unlike intra, inter reconstruction has no spatial dependency, so
+the whole frame batches in one jitted program. Entropy:
+entropy/slice_enc_p.py.
+
+Current v0 limits (round-2: full P RDO with CU tree + merge/skip + HCPM
+gating of the inter search): frame dims must be CTU-aligned.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import inter, quant, transforms
+from . import ldp as ldp_lib
+from . import search as search_lib
+
+
+def _tile_tu_transform(tiles, qp, tu: int):
+    """[B, S, S] residual tiles -> (levels, recon_resi) per TU of size tu."""
+    B, S, _ = tiles.shape
+    g = S // tu
+    t = tiles.reshape(B, g, tu, g, tu).transpose(0, 1, 3, 2, 4)
+    t = t.reshape(B * g * g, tu, tu)
+    lvl = quant.quantize(transforms.forward_transform(t), qp,
+                         is_intra=False)
+    rr = transforms.inverse_transform(quant.dequantize(lvl, qp))
+
+    def back(x):
+        x = x.reshape(B, g, g, tu, tu).transpose(0, 1, 3, 2, 4)
+        return x.reshape(B, S, S)
+
+    return back(lvl), back(rr)
+
+
+def encode_p_frame_device(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, *,
+                          qp: int, pad_w: int, pad_h: int):
+    """Jittable P-frame coding vs the reconstructed reference frame.
+
+    Returns (coef tiles y/cb/cr, recon tiles y/cb/cr, mv_q [B, 2])."""
+    origins = jnp.asarray(search_lib.ctu_grid(pad_w, pad_h))
+    cqp = quant.chroma_qp(qp)
+
+    def tiles_of(plane, s):
+        h, w = plane.shape
+        o = origins if s == 64 else origins // 2
+        ys = jnp.clip(o[:, 1:2, None] + jnp.arange(s)[None, :, None],
+                      0, h - 1)
+        xs = jnp.clip(o[:, 0:1, None] + jnp.arange(s)[None, None, :],
+                      0, w - 1)
+        return jnp.take(plane.reshape(-1), ys * w + xs, axis=0
+                        ).astype(jnp.int32)
+
+    cur_y_t = tiles_of(jnp.asarray(cur_y), 64)
+    mv_int, _ = inter.integer_search_ctu(cur_y_t, jnp.asarray(ref_y),
+                                         origins, radius=8)
+    mv_q, _ = ldp_lib._quarter_refine(cur_y_t, jnp.asarray(ref_y), origins,
+                                      mv_int)
+
+    pred_y = inter.predict_inter_ctu(jnp.asarray(ref_y), origins, mv_q,
+                                     is_luma=True)
+    pred_cb = inter.predict_inter_ctu(jnp.asarray(ref_cb), origins // 2,
+                                      mv_q, is_luma=False)
+    pred_cr = inter.predict_inter_ctu(jnp.asarray(ref_cr), origins // 2,
+                                      mv_q, is_luma=False)
+
+    resi_y = cur_y_t - pred_y
+    resi_cb = tiles_of(jnp.asarray(cur_cb), 32) - pred_cb
+    resi_cr = tiles_of(jnp.asarray(cur_cr), 32) - pred_cr
+
+    lvl_y, rr_y = _tile_tu_transform(resi_y, qp, 32)
+    lvl_cb, rr_cb = _tile_tu_transform(resi_cb, cqp, 16)
+    lvl_cr, rr_cr = _tile_tu_transform(resi_cr, cqp, 16)
+
+    rec_y = jnp.clip(pred_y + rr_y, 0, 255)
+    rec_cb = jnp.clip(pred_cb + rr_cb, 0, 255)
+    rec_cr = jnp.clip(pred_cr + rr_cr, 0, 255)
+    return (lvl_y.astype(jnp.int16), lvl_cb.astype(jnp.int16),
+            lvl_cr.astype(jnp.int16),
+            rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
+            rec_cr.astype(jnp.uint8), mv_q)
+
+
+class LDPEncoder:
+    """Low-Delay-P sequence encoder: IDR + P frames (v0 flat inter CUs).
+
+    Replaces the reference's two-binary lockstep (SURVEY.md 3.2) with a
+    single program: the AI path codes frame 0, every following frame is
+    motion-compensated against the previous reconstruction on device and
+    entropy-coded as a conformant P slice.
+    """
+
+    def __init__(self, cfg, cnn_params=None):
+        assert cfg.pad_width % 64 == 0 and cfg.pad_height % 64 == 0, \
+            "LDP v0 requires CTU-aligned dims"
+        self.cfg = cfg
+        from .ai import AIEncoder
+        self.intra = AIEncoder(cfg, cnn_params=cnn_params)
+        self._p_jit = jax.jit(functools.partial(
+            encode_p_frame_device, qp=cfg.qp, pad_w=cfg.pad_width,
+            pad_h=cfg.pad_height))
+
+    def encode(self, frames, with_hash_sei: bool = True):
+        from ..core.yuv import Frame, pad_frame
+        from ..entropy import headers
+        from ..entropy.slice_enc_p import PSliceEncoder
+        from . import golden, ldp as ldp_mod
+
+        cfg = self.cfg
+        chunks = [headers.write_vps(cfg), headers.write_sps(cfg),
+                  headers.write_pps(cfg)]
+        recons = []
+        prev = None
+        for poc, frame in enumerate(frames):
+            pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
+            if poc == 0:
+                d8, m8 = self.intra.decide_frame(pf.y)
+                decisions, rec = self.intra.reconstruct(pf, d8, m8)
+                chunks.append(self.intra._entropy_encode(decisions))
+            else:
+                (cy, ccb, ccr, ry, rcb, rcr, mvq) = self._p_jit(
+                    pf.y.astype(np.int32), pf.cb.astype(np.int32),
+                    pf.cr.astype(np.int32),
+                    prev.y.astype(np.int32), prev.cb.astype(np.int32),
+                    prev.cr.astype(np.int32))
+                W, H = cfg.pad_width, cfg.pad_height
+                coef_y = ldp_mod.tiles_to_plane(cy, W, H, 64)
+                coef_cb = ldp_mod.tiles_to_plane(ccb, W // 2, H // 2, 32)
+                coef_cr = ldp_mod.tiles_to_plane(ccr, W // 2, H // 2, 32)
+                rec = Frame(ldp_mod.tiles_to_plane(ry, W, H, 64),
+                            ldp_mod.tiles_to_plane(rcb, W // 2, H // 2, 32),
+                            ldp_mod.tiles_to_plane(rcr, W // 2, H // 2, 32))
+                mvq = np.asarray(mvq)
+                h8, w8 = H // 8, W // 8
+                mvq8 = np.zeros((h8, w8, 2), np.int32)
+                nx = cfg.ctus_x
+                for b in range(mvq.shape[0]):
+                    by, bx = divmod(b, nx)
+                    mvq8[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = mvq[b]
+                depth8 = np.zeros((h8, w8), np.int32)
+
+                bw = headers.start_p_slice(cfg, cfg.qp, poc)
+                pse = PSliceEncoder(cfg, cfg.qp)
+                pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
+                chunks.append(headers.finish_p_slice_nal(bw))
+            if with_hash_sei:
+                chunks.append(headers.write_hash_sei(
+                    golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
+                    golden.md5_plane(rec.cr)))
+            recons.append(rec)
+            prev = rec
+        return b"".join(chunks), recons

@@ -99,3 +99,36 @@ def test_ldp_predictor_chain():
     assert out[1]["hcpm"].shape == (2, 21)
     # state carried: same residue would give different probs at step 2
     assert not np.allclose(out[1]["hcpm"], out[2]["hcpm"])
+
+
+@pytest.mark.skipif(not __import__("hevc_tpu.evaltools.hm", fromlist=["hm"]).decoder_available(),
+                    reason="HM decoder missing")
+def test_ldp_encoder_e2e_hm_decode(tmp_path):
+    """IDR + 3 P frames; HM must decode with byte-exact reconstruction."""
+    from hevc_tpu.pipeline.pframe import LDPEncoder
+    from hevc_tpu.evaltools import hm as hm_mod
+    from hevc_tpu.core.yuv import read_yuv420, Frame, psnr
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32)
+    base = synth_frame(128, 64, seed=30)
+    frames = [base]
+    for i in range(3):
+        y = np.roll(frames[-1].y, (1, 2), axis=(0, 1))
+        rng = np.random.RandomState(40 + i)
+        y = np.clip(y.astype(np.int32) + rng.randint(-3, 4, y.shape), 0,
+                    255).astype(np.uint8)
+        frames.append(Frame(y, frames[-1].cb, frames[-1].cr))
+
+    enc = LDPEncoder(cfg)
+    stream, recons = enc.encode(frames)
+    rc, log, rec_path = hm_mod.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
+    dec = read_yuv420(rec_path, cfg.width, cfg.height)
+    assert len(dec) == 4
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        np.testing.assert_array_equal(d.y, r.y, err_msg=f"luma frame {i}")
+        np.testing.assert_array_equal(d.cb, r.cb, err_msg=f"cb frame {i}")
+    # P frames should be much cheaper than the IDR and decent quality
+    p = psnr(dec[3].y, frames[3].y)
+    assert p > 28.0, p
