@@ -38,13 +38,15 @@ def weighted_psnr(psnr_y, psnr_cb, psnr_cr):
     return (6 * psnr_y + psnr_cb + psnr_cr) / 8.0
 
 
-def encode_ours(frames, width, height, qp, cnn_params=None, thresholds=None):
+def encode_ours(frames, width, height, qp, cnn_params=None, thresholds=None,
+                deblock=True):
     """Encode with our AI pipeline; returns (bits, psnr_y, seconds)."""
     from ..entropy import headers
     from ..pipeline.ai import AIEncoder
     from ..core.yuv import psnr
 
-    cfg = headers.EncoderConfig(width=width, height=height, qp=qp)
+    cfg = headers.EncoderConfig(width=width, height=height, qp=qp,
+                                deblock=deblock)
     enc = AIEncoder(cfg, cnn_params=cnn_params, thresholds=thresholds)
     t0 = time.perf_counter()
     stream, recons, _ = enc.encode(frames, with_hash_sei=False)
