@@ -101,6 +101,8 @@ class LDPEncoder:
     def __init__(self, cfg, cnn_params=None):
         assert cfg.pad_width % 64 == 0 and cfg.pad_height % 64 == 0, \
             "LDP v0 requires CTU-aligned dims"
+        assert not cfg.deblock, \
+            "LDP v0: deblocking needs inter bS derivation (round 2)"
         self.cfg = cfg
         from .ai import AIEncoder
         self.intra = AIEncoder(cfg, cnn_params=cnn_params)

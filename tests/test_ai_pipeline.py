@@ -130,3 +130,15 @@ def test_deblocking_normative(tmp_path):
     enc2 = AIEncoder(headers.EncoderConfig(width=128, height=128, qp=37))
     _, recons2, _ = enc2.encode(frames)
     assert not np.array_equal(recons[0].y, recons2[0].y)
+
+
+@pytest.mark.skipif(not hm.decoder_available(), reason="HM decoder missing")
+@pytest.mark.parametrize("qp,deblock", [(22, True), (37, False)])
+def test_ai_qp_sweep_conformance(tmp_path, qp, deblock):
+    cfg = headers.EncoderConfig(width=64, height=64, qp=qp, deblock=deblock)
+    frames = [synth_frame(64, 64, seed=qp)]
+    enc = AIEncoder(cfg)
+    stream, recons, _ = enc.encode(frames)
+    rc, log, rec_path = hm.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
