@@ -32,10 +32,12 @@ from ..pipeline import golden, recon, search
 class FrameParallelAI:
     def __init__(self, cfg: headers.EncoderConfig, mesh,
                  cnn_params=None,
-                 thresholds: Optional[hcpm.Thresholds] = None):
+                 thresholds: Optional[hcpm.Thresholds] = None,
+                 recon_backend: str = "ctu"):
         self.cfg = cfg
         self.mesh = mesh
         self.cnn_params = cnn_params
+        self.recon_backend = recon_backend
         self.thr = thresholds or hcpm.DEFAULT_AI
         self._origins = jnp.asarray(
             search.ctu_grid(cfg.pad_width, cfg.pad_height))
@@ -88,7 +90,35 @@ class FrameParallelAI:
             planes = jax.vmap(recon_one)(ys, cbs, crs, d, m)
             return d, m, planes
 
+        def decide_only(ys, params):
+            if params is not None:
+                F = ys.shape[0]
+                H64, W64 = cfg.ctus_y * 64, cfg.ctus_x * 64
+                ypad = jnp.pad(ys, ((0, 0), (0, H64 - ys.shape[1]),
+                                    (0, W64 - ys.shape[2])))
+                ctus = ypad.reshape(F, cfg.ctus_y, 64, cfg.ctus_x, 64)
+                ctus = ctus.transpose(0, 1, 3, 2, 4).reshape(-1, 64, 64)
+                qp = jnp.full((ctus.shape[0],), float(cfg.qp))
+                probs = eth_cnn.apply(params, ctus, qp,
+                                      thr_l1=self.thr.l1_lower,
+                                      thr_l2=self.thr.l2_lower)
+                probs = probs.reshape(F, -1, 21)
+                d8s, m8s = jax.vmap(decide_one)(ys, probs)
+            else:
+                d8s, m8s = jax.vmap(lambda y: decide_one(y, None))(ys)
+            nx, ny = cfg.ctus_x, cfg.ctus_y
+            F = ys.shape[0]
+            d = d8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
+            d = d.reshape(F, ny * 8, nx * 8)[:, :cfg.pad_height // 8,
+                                             :cfg.pad_width // 8]
+            m = m8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
+            m = m.reshape(F, ny * 8, nx * 8)[:, :cfg.pad_height // 8,
+                                             :cfg.pad_width // 8]
+            return d, m
+
         self._full = jax.jit(full)
+        self._decide = jax.jit(decide_only)
+        self._recon_tu_cache = {}
 
     def encode_batch(self, frames):
         """Encode a batch of frames (ideally a multiple of the data-axis
@@ -107,7 +137,10 @@ class FrameParallelAI:
             params = jax.device_put(params, self._replicated)
 
         t0 = time.perf_counter()
-        d, m, planes = self._full(ys, cbs, crs, params)
+        if self.recon_backend == "tu":
+            d, m, planes = self._run_tu(ys, cbs, crs, params)
+        else:
+            d, m, planes = self._full(ys, cbs, crs, params)
         jax.block_until_ready(planes)
         t1 = time.perf_counter()
 
@@ -132,6 +165,40 @@ class FrameParallelAI:
         self.last_stats = {"device_s": t1 - t0, "transfer_s": t2 - t1,
                            "entropy_s": t3 - t2}
         return chunks, recons, t1 - t0
+
+    def _run_tu(self, ys, cbs, crs, params):
+        """Decide (device) -> per-frame TU schedules (host) -> vmapped
+        TU-wavefront reconstruction (device)."""
+        from ..pipeline import recon_tu
+        cfg = self.cfg
+        d, m = self._decide(ys, params)
+        d_host = np.asarray(d)
+        scheds = [recon_tu.build_schedule(d_host[i])[0]
+                  for i in range(d_host.shape[0])]
+        # pad all frames' schedules to common shapes
+        stacked = {}
+        for s8 in (1, 2, 4):
+            n_steps = max(sc[s8][0].shape[0] for sc in scheds)
+            cap = max(sc[s8][0].shape[1] for sc in scheds)
+            idx = np.zeros((len(scheds), n_steps, cap, 2), np.int32)
+            act = np.zeros((len(scheds), n_steps, cap), bool)
+            for i, sc in enumerate(scheds):
+                si, sa = sc[s8]
+                idx[i, :si.shape[0], :si.shape[1]] = si
+                act[i, :sa.shape[0], :sa.shape[1]] = sa
+            stacked[s8] = (idx, act)
+        key = tuple(stacked[s][0].shape for s in (1, 2, 4))
+        if key not in self._recon_tu_cache:
+            import functools
+            self._recon_tu_cache[key] = jax.jit(jax.vmap(functools.partial(
+                recon_tu.encode_frame_planes_tu_inner, qp=cfg.qp,
+                pad_w=cfg.pad_width, pad_h=cfg.pad_height)))
+        fn = self._recon_tu_cache[key]
+        planes = fn(ys, cbs, crs, m,
+                    jnp.asarray(stacked[1][0]), jnp.asarray(stacked[1][1]),
+                    jnp.asarray(stacked[2][0]), jnp.asarray(stacked[2][1]),
+                    jnp.asarray(stacked[4][0]), jnp.asarray(stacked[4][1]))
+        return d, m, planes
 
     def _entropy(self, decisions) -> bytes:
         from ..pipeline.ai import entropy_encode_slice

@@ -108,9 +108,15 @@ class AIEncoder:
         cfg = self.cfg
         if self.recon_backend == "golden":
             return self.golden.encode_frame(pf, depth8, modes8)
-        planes = recon.encode_frame_planes_jit(
-            pf.y, pf.cb, pf.cr, depth8, modes8,
-            qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
+        if self.recon_backend == "tu":
+            from . import recon_tu
+            planes = recon_tu.reconstruct_tu(
+                pf.y, pf.cb, pf.cr, depth8, modes8,
+                qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
+        else:
+            planes = recon.encode_frame_planes_jit(
+                pf.y, pf.cb, pf.cr, depth8, modes8,
+                qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
         decisions = dict(depth8=depth8, modes8=modes8,
                          coef_y=np.asarray(planes.coef_y),
                          coef_cb=np.asarray(planes.coef_cb),

@@ -35,3 +35,14 @@ def test_frame_parallel_hm_decodes(tmp_path):
     rc, log, rec = hm.decode_bytes(stream, str(tmp_path))
     assert rc == 0, log
     assert "mismatch" not in log.lower(), log
+
+
+def test_frame_parallel_tu_backend_matches():
+    cfg = headers.EncoderConfig(width=64, height=64, qp=32)
+    frames = [synth_frame(64, 64, seed=s) for s in range(4)]
+    mesh = make_mesh(4, model_axis=1)
+    p_tu = pframes.FrameParallelAI(cfg, mesh, recon_backend="tu")
+    s_tu, _ = p_tu.encode(frames)
+    p_ctu = pframes.FrameParallelAI(cfg, mesh)
+    s_ctu, _ = p_ctu.encode(frames)
+    assert s_tu == s_ctu
