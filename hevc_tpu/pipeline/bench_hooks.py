@@ -79,8 +79,7 @@ def bench_encode_1080p(n_frames=8, warmup_frames=8):
     cfg = headers.EncoderConfig(width=1920, height=1080, qp=32)
     params = eth_cnn.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(1, model_axis=1)
-    enc = pframes.FrameParallelAI(cfg, mesh, cnn_params=params,
-                              recon_backend="tu")
+    enc = pframes.FrameParallelAI(cfg, mesh, cnn_params=params)
     frames = synth_1080p(max(n_frames, warmup_frames))
 
     enc.encode(frames[:warmup_frames], with_hash_sei=False)  # compile
