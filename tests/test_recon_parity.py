@@ -93,4 +93,4 @@ def test_tu_schedule_sanity():
     # every 8x8 cell covered exactly once
     area = sum(int(sched[s][1].sum()) * s * s for s in (1, 2, 4))
     assert area == 16 * 16
-    assert n_steps < 16 * 3 + 16
+    assert n_steps <= 16 * 3 + 32  # bucketed to multiples of 16
