@@ -21,6 +21,7 @@ class EncoderConfig:
     bit_depth: int = 8
     level_idc: int = 120          # level 4.0
     deblock: bool = False         # in-loop deblocking (ops/deblock.py)
+    rdoq: bool = True             # RD-optimized quantization (ops/rdoq.py)
     # fixed toolset
     ctu_size: int = 64
     min_cu: int = 8

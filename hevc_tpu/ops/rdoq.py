@@ -1,0 +1,146 @@
+"""Rate-distortion optimized quantization (vectorized RDOQ-lite).
+
+HM's RDOQ (TComTrQuant.cpp:2129) is a sequential per-coefficient trellis
+over scan order with CABAC-state-coupled rates — inherently serial. This
+TPU formulation keeps the decisions data-parallel:
+
+  1. per coefficient, choose level among {round(c/step), that-1, 0}
+     minimizing  D(l) + lambda * R(l), with pixel-domain distortion
+     D(l) = alpha(N) * (c - dequant(l))^2  (alpha measured from the
+     actual inverse transform's unit-impulse energy) and a level-rate
+     model R(l);
+  2. per 4x4 coefficient group, zero the whole CG when that lowers
+     total cost (the coded_sub_block_flag saving).
+
+Typical gain vs plain dead-zone quantization: several percent rate at
+equal PSNR; exact HM-RDOQ parity is a round-2 target (ROADMAP #1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import quant, transforms
+
+
+@functools.lru_cache(maxsize=None)
+def alpha(n: int, bit_depth: int = 8) -> float:
+    """Pixel-domain SSE per unit squared dequantized-coefficient error.
+
+    Measured: put a unit impulse in the (dequantized) coefficient domain,
+    inverse-transform, take the output energy (averaged over positions).
+    """
+    total = 0.0
+    cnt = 0
+    for (i, j) in ((0, 0), (n // 2, n // 2), (n - 1, n - 1), (0, n - 1)):
+        c = np.zeros((1, n, n), np.int64)
+        c[0, i, j] = 1024  # scale up to dodge integer rounding, undo below
+        r = transforms.inverse_transform_np(c, bit_depth=bit_depth)
+        total += float((r.astype(np.float64) ** 2).sum()) / (1024.0 ** 2)
+        cnt += 1
+    return total / cnt
+
+
+def _level_bits(l):
+    """Approximate coding cost (bits) of an absolute level (jnp)."""
+    lf = l.astype(jnp.float32)
+    return jnp.where(
+        l == 0, 1.0,
+        jnp.where(l == 1, 2.5,
+                  jnp.where(l == 2, 4.0,
+                            2.0 * jnp.log2(lf + 1.0) + 3.5)))
+
+
+def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8):
+    """RD-optimized quantization of [..., n, n] int32 coefficients."""
+    n = coef.shape[-1]
+    log2n = int(n).bit_length() - 1
+    qbits = quant._qbits(qp, log2n, bit_depth)
+    scale = quant.QUANT_SCALES[qp % 6]
+    a = jnp.abs(coef.astype(jnp.int32))
+    sign = coef < 0
+
+    # candidate levels: round-to-nearest and one below
+    hi = jnp.minimum((a * scale + (1 << (qbits - 1))) >> qbits, 32767)
+    lo = jnp.maximum(hi - 1, 0)
+
+    al = jnp.float32(alpha(n, bit_depth))
+    lam = jnp.float32(lam)
+
+    def cost(lv):
+        deq = quant.dequantize(lv, qp, bit_depth=bit_depth)
+        e = (a - deq).astype(jnp.float32)
+        return al * e * e + lam * _level_bits(lv)
+
+    zero = jnp.zeros_like(hi)
+    c_hi, c_lo, c_z = cost(hi), cost(lo), cost(zero)
+    lv = jnp.where((c_lo <= c_hi) & (lo > 0), lo, hi)
+    cv = jnp.minimum(c_lo, c_hi)
+    lv = jnp.where(c_z <= cv, zero, lv)
+    cv = jnp.minimum(c_z, cv)
+
+    # CG zeroing: compare kept cost vs all-zero cost per 4x4 group
+    if n >= 8:
+        g = n // 4
+        def pool(x):
+            s = x.shape
+            return x.reshape(*s[:-2], g, 4, g, 4).sum((-3, -1))
+        keep_cost = pool(cv)
+        zero_cost = pool(cost(zero)) - lam * 1.0  # save the csbf bit
+        zero_cg = (zero_cost <= keep_cost)[..., :, None, :, None]
+        zero_cg = jnp.broadcast_to(
+            zero_cg, lv.shape[:-2] + (g, 4, g, 4)).reshape(lv.shape)
+        lv = jnp.where(zero_cg, 0, lv)
+
+    return jnp.where(sign, -lv, lv)
+
+
+def rd_quantize_np(coef, qp, lam, *, is_intra=True, bit_depth=8):
+    """NumPy twin for the golden encoder."""
+    coef = np.asarray(coef, np.int64)
+    n = coef.shape[-1]
+    log2n = int(n).bit_length() - 1
+    qbits = quant._qbits(qp, log2n, bit_depth)
+    scale = quant.QUANT_SCALES[qp % 6]
+    a = np.abs(coef)
+    sign = coef < 0
+    hi = np.minimum((a * scale + (1 << (qbits - 1))) >> qbits, 32767)
+    lo = np.maximum(hi - 1, 0)
+    al = alpha(n, bit_depth)
+
+    al = np.float32(al)
+    lam = np.float32(lam)
+
+    def bits(l):
+        lf = l.astype(np.float32)
+        return np.where(l == 0, np.float32(1.0),
+                        np.where(l == 1, np.float32(2.5),
+                                 np.where(l == 2, np.float32(4.0),
+                                          (2.0 * np.log2(lf + 1.0) + 3.5
+                                           ).astype(np.float32))))
+
+    def cost(lv):
+        deq = quant.dequantize_np(lv, qp, bit_depth=bit_depth)
+        e = (a - deq).astype(np.float32)
+        return (al * e * e + lam * bits(lv)).astype(np.float32)
+
+    zero = np.zeros_like(hi)
+    c_hi, c_lo, c_z = cost(hi), cost(lo), cost(zero)
+    lv = np.where((c_lo <= c_hi) & (lo > 0), lo, hi)
+    cv = np.minimum(c_lo, c_hi)
+    lv = np.where(c_z <= cv, zero, lv)
+    cv = np.minimum(c_z, cv)
+    if n >= 8:
+        g = n // 4
+        def pool(x):
+            s = x.shape
+            return x.reshape(*s[:-2], g, 4, g, 4).sum((-3, -1))
+        keep_cost = pool(cv)
+        zero_cost = pool(cost(zero)) - lam * 1.0
+        zcg = (zero_cost <= keep_cost)
+        zcg = np.repeat(np.repeat(zcg, 4, -1), 4, -2)
+        lv = np.where(zcg, 0, lv)
+    return np.where(sign, -lv, lv).astype(np.int32)

@@ -54,7 +54,7 @@ class FrameParallelAI:
         def recon_one(y, cb, cr, d8, m8):
             return recon.encode_frame_planes(
                 y, cb, cr, d8, m8, qp=cfg.qp, pad_w=cfg.pad_width,
-                pad_h=cfg.pad_height)
+                pad_h=cfg.pad_height, rdoq=cfg.rdoq)
 
         def full(ys, cbs, crs, params):
             # [F, H, W] batched over frames

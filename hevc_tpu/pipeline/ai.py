@@ -116,7 +116,8 @@ class AIEncoder:
         else:
             planes = recon.encode_frame_planes_jit(
                 pf.y, pf.cb, pf.cr, depth8, modes8,
-                qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
+                qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                rdoq=cfg.rdoq)
         decisions = dict(depth8=depth8, modes8=modes8,
                          coef_y=np.asarray(planes.coef_y),
                          coef_cb=np.asarray(planes.coef_cb),

@@ -53,14 +53,19 @@ def _all_mode_preds(plane, zmap, x0, y0, n, *, pad_w, pad_h):
 
 
 def _code_tu(orig, recon, coef_out, zmap, x0, y0, n, mode, qp, *,
-             component, pad_w, pad_h, scale=1):
+             component, pad_w, pad_h, scale=1, rdoq=True):
     """Encode one TB: predict -> transform -> quant -> recon in place."""
     pred = _predict_tu(recon, zmap, x0, y0, n, mode, component=component,
                        pad_w=pad_w, pad_h=pad_h, scale=scale)
     resi = orig[y0:y0 + n, x0:x0 + n].astype(np.int32) - pred
     use_dst = (component == "luma" and n == 4)
     coef = transforms.forward_transform_np(resi[None], use_dst=use_dst)[0]
-    lvl = quant.quantize_np(coef[None], qp)[0]
+    if rdoq:
+        from ..ops import rdoq as rdoq_lib
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lvl = rdoq_lib.rd_quantize_np(coef[None], qp, lam)[0]
+    else:
+        lvl = quant.quantize_np(coef[None], qp)[0]
     coef_out[y0:y0 + n, x0:x0 + n] = lvl
     if np.any(lvl):
         deq = quant.dequantize_np(lvl[None], qp)[0]
@@ -120,6 +125,8 @@ class GoldenEncoder:
 
         cqp = quant.chroma_qp(qp)
 
+        rdoq_on = getattr(cfg, "rdoq", True)
+
         def code_cu(x0, y0, size):
             mpm = self._mpm_for(out_modes8, x0, y0)
             if modes8 is not None:
@@ -136,27 +143,31 @@ class GoldenEncoder:
                 for (dx, dy) in ((0, 0), (32, 0), (0, 32), (32, 32)):
                     _code_tu(orig_y, recon_y, coef_y, self.zmap,
                              x0 + dx, y0 + dy, 32, mode, qp,
-                             component="luma", pad_w=W, pad_h=H)
+                             component="luma", pad_w=W, pad_h=H,
+                             rdoq=rdoq_on)
                 for (dx, dy) in ((0, 0), (16, 0), (0, 16), (16, 16)):
                     cx, cy = (x0 >> 1) + dx, (y0 >> 1) + dy
                     _code_tu(orig_cb, recon_cb, coef_cb, self.zmap,
                              cx, cy, 16, mode, cqp, component="chroma",
-                             pad_w=W // 2, pad_h=H // 2, scale=2)
+                             pad_w=W // 2, pad_h=H // 2, scale=2,
+                             rdoq=rdoq_on)
                     _code_tu(orig_cr, recon_cr, coef_cr, self.zmap,
                              cx, cy, 16, mode, cqp, component="chroma",
-                             pad_w=W // 2, pad_h=H // 2, scale=2)
+                             pad_w=W // 2, pad_h=H // 2, scale=2,
+                             rdoq=rdoq_on)
             else:
                 _code_tu(orig_y, recon_y, coef_y, self.zmap, x0, y0, size,
-                         mode, qp, component="luma", pad_w=W, pad_h=H)
+                         mode, qp, component="luma", pad_w=W, pad_h=H,
+                         rdoq=rdoq_on)
                 half = size >> 1
                 _code_tu(orig_cb, recon_cb, coef_cb, self.zmap,
                          x0 >> 1, y0 >> 1, half, mode, cqp,
                          component="chroma", pad_w=W // 2, pad_h=H // 2,
-                         scale=2)
+                         scale=2, rdoq=rdoq_on)
                 _code_tu(orig_cr, recon_cr, coef_cr, self.zmap,
                          x0 >> 1, y0 >> 1, half, mode, cqp,
                          component="chroma", pad_w=W // 2, pad_h=H // 2,
-                         scale=2)
+                         scale=2, rdoq=rdoq_on)
 
         def walk(x0, y0, size, depth):
             if x0 >= W or y0 >= H:

@@ -24,14 +24,19 @@ from . import ldp as ldp_lib
 from . import search as search_lib
 
 
-def _tile_tu_transform(tiles, qp, tu: int):
+def _tile_tu_transform(tiles, qp, tu: int, rdoq=True):
     """[B, S, S] residual tiles -> (levels, recon_resi) per TU of size tu."""
     B, S, _ = tiles.shape
     g = S // tu
     t = tiles.reshape(B, g, tu, g, tu).transpose(0, 1, 3, 2, 4)
     t = t.reshape(B * g * g, tu, tu)
-    lvl = quant.quantize(transforms.forward_transform(t), qp,
-                         is_intra=False)
+    cf = transforms.forward_transform(t)
+    if rdoq:
+        from ..ops import rdoq as rdoq_lib
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lvl = rdoq_lib.rd_quantize(cf, qp, lam, is_intra=False)
+    else:
+        lvl = quant.quantize(cf, qp, is_intra=False)
     rr = transforms.inverse_transform(quant.dequantize(lvl, qp))
 
     def back(x):

@@ -53,7 +53,8 @@ def node_table():
 
 
 def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
-             component, g_origin, pad_w, pad_h, n_ctu_x, scale):
+             component, g_origin, pad_w, pad_h, n_ctu_x, scale,
+             rdoq=True):
     """Code one TB inside the extended tile [2S+1, 2S+1] (interior at
     [1:S+1, 1:S+1], context in row 0 / col 0). Returns (ext, coef)."""
     left_col = jax.lax.dynamic_slice(ext, (y0 + 1, x0), (2 * n, 1))[:, 0]
@@ -72,7 +73,13 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
     pred = intra.predict_one_mode(r_use, mode, n, component=component)
     orig = jax.lax.dynamic_slice(orig_tile, (y0, x0), (n, n))
     resi = orig.astype(jnp.int32) - pred
-    lvl = quant.quantize(transforms.forward_transform(resi), qp)
+    cf = transforms.forward_transform(resi)
+    if rdoq:
+        from ..ops import rdoq as rdoq_lib
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lvl = rdoq_lib.rd_quantize(cf, qp, lam)
+    else:
+        lvl = quant.quantize(cf, qp)
     rresi = transforms.inverse_transform(quant.dequantize(lvl, qp))
     rec = jnp.clip(pred + rresi, 0, 255)
 
@@ -87,7 +94,7 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
 
 def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
              depth8_t, modes8_t, g_origin, *, qp, cqp, pad_w, pad_h,
-             n_ctu_x):
+             n_ctu_x, rdoq=True):
     """Code one CTU. ctx_*: (top [2S], left [S], corner scalar) tuples.
     Returns (rec_y [64,64], rec_cb, rec_cr, coef_y, coef_cb, coef_cr)."""
 
@@ -107,9 +114,9 @@ def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
         ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr = carry
         g_chroma = g_origin // 2
         ckw = dict(component="chroma", g_origin=g_chroma, pad_w=pad_w // 2,
-                   pad_h=pad_h // 2, n_ctu_x=n_ctu_x, scale=2)
+                   pad_h=pad_h // 2, n_ctu_x=n_ctu_x, scale=2, rdoq=rdoq)
         lkw = dict(component="luma", g_origin=g_origin, pad_w=pad_w,
-                   pad_h=pad_h, n_ctu_x=n_ctu_x, scale=1)
+                   pad_h=pad_h, n_ctu_x=n_ctu_x, scale=1, rdoq=rdoq)
         if size == 64:
             for (dx, dy) in ((0, 0), (32, 0), (0, 32), (32, 32)):
                 ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t,
@@ -167,7 +174,8 @@ def _diag_lanes(nx, ny):
 
 
 def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
-                        qp: int, pad_w: int, pad_h: int) -> FramePlanes:
+                        qp: int, pad_w: int, pad_h: int,
+                        rdoq: bool = True) -> FramePlanes:
     """Jittable whole-frame normative reconstruction + coefficients.
 
     pad_w/pad_h are the coded (min-CU-aligned) dims; internally everything
@@ -229,7 +237,8 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
                 jax.lax.dynamic_slice(depth8, (cy * 8, cx * 8), (8, 8)),
                 jax.lax.dynamic_slice(modes8, (cy * 8, cx * 8), (8, 8)),
                 jnp.stack([ox, oy]),
-                qp=qp, cqp=cqp, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx)
+                qp=qp, cqp=cqp, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx,
+                rdoq=rdoq)
 
         outs = jax.vmap(lane)(cx_l, cy_l)
         rec_y_t, rec_cb_t, rec_cr_t, cf_y_t, cf_cb_t, cf_cr_t = outs
@@ -270,8 +279,9 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "pad_w", "pad_h"))
+@functools.partial(jax.jit,
+                   static_argnames=("qp", "pad_w", "pad_h", "rdoq"))
 def encode_frame_planes_jit(orig_y, orig_cb, orig_cr, depth8, modes8, *,
-                            qp, pad_w, pad_h):
+                            qp, pad_w, pad_h, rdoq=True):
     return encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8,
-                               qp=qp, pad_w=pad_w, pad_h=pad_h)
+                               qp=qp, pad_w=pad_w, pad_h=pad_h, rdoq=rdoq)

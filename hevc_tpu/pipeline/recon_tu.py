@@ -21,6 +21,8 @@ import numpy as np
 from ..ops import intra, quant, refs, transforms
 from .recon import FramePlanes
 
+RDOQ_ON = True  # keep in sync with EncoderConfig.rdoq default
+
 
 # ---------------------------------------------------------------------------
 # Host-side schedule
@@ -152,8 +154,11 @@ def _code_class(planes_y, coef_y, planes_c, coef_c, orig_y, orig_cb, orig_cr,
     pred = intra.predict_selected_modes(r_use, modes, n)
     orig, _ = gather_block(orig_y, origins, n)
     use_dst = (n == 4)
-    lvl = quant.quantize(
-        transforms.forward_transform(orig - pred, use_dst=use_dst), qp)
+    from ..ops import rdoq as rdoq_lib
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    cf = transforms.forward_transform(orig - pred, use_dst=use_dst)
+    lvl = rdoq_lib.rd_quantize(cf, qp, lam) if RDOQ_ON else \
+        quant.quantize(cf, qp)
     rres = transforms.inverse_transform(quant.dequantize(lvl, qp),
                                         use_dst=use_dst)
     rec = jnp.clip(pred + rres, 0, 255)
@@ -174,8 +179,10 @@ def _code_class(planes_y, coef_y, planes_c, coef_c, orig_y, orig_cb, orig_cr,
         predc = intra.predict_selected_modes(rc, modes, cn,
                                              component="chroma")
         origc, _ = gather_block(orig_c, corg, cn)
-        lvlc = quant.quantize(transforms.forward_transform(origc - predc),
-                              cqp)
+        cfc = transforms.forward_transform(origc - predc)
+        lamc = 0.57 * 2.0 ** ((cqp - 12) / 3.0)
+        lvlc = rdoq_lib.rd_quantize(cfc, cqp, lamc) if RDOQ_ON else \
+            quant.quantize(cfc, cqp)
         rresc = transforms.inverse_transform(quant.dequantize(lvlc, cqp))
         recc = jnp.clip(predc + rresc, 0, 255)
         plane_c = scatter_block(plane_c, recc, corg, cn, act)
