@@ -19,11 +19,16 @@ equal PSNR; exact HM-RDOQ parity is a round-2 target (ROADMAP #1).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
 
 from . import quant, transforms
+
+# Calibration knob for the rate weight (swept offline; see
+# results_bdrate_gated.json). Applied identically in both twins.
+LAMBDA_SCALE = float(os.environ.get("HEVC_TPU_RDOQ_LAMBDA_SCALE", "1.0"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,7 +73,7 @@ def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8):
     lo = jnp.maximum(hi - 1, 0)
 
     al = jnp.float32(alpha(n, bit_depth))
-    lam = jnp.float32(lam)
+    lam = jnp.float32(lam * LAMBDA_SCALE)
 
     def cost(lv):
         deq = quant.dequantize(lv, qp, bit_depth=bit_depth)
@@ -112,7 +117,7 @@ def rd_quantize_np(coef, qp, lam, *, is_intra=True, bit_depth=8):
     al = alpha(n, bit_depth)
 
     al = np.float32(al)
-    lam = np.float32(lam)
+    lam = np.float32(lam * LAMBDA_SCALE)
 
     def bits(l):
         lf = l.astype(np.float32)
