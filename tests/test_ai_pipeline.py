@@ -142,3 +142,15 @@ def test_ai_qp_sweep_conformance(tmp_path, qp, deblock):
     rc, log, rec_path = hm.decode_bytes(stream, str(tmp_path))
     assert rc == 0, log
     assert "mismatch" not in log.lower(), log
+
+
+@pytest.mark.skipif(not hm.decoder_available(), reason="HM decoder missing")
+@pytest.mark.parametrize("qp", [6, 45, 51])
+def test_ai_extreme_qp_conformance(tmp_path, qp):
+    cfg = headers.EncoderConfig(width=64, height=64, qp=qp)
+    frames = [synth_frame(64, 64, seed=qp + 1)]
+    enc = AIEncoder(cfg)
+    stream, recons, _ = enc.encode(frames)
+    rc, log, rec_path = hm.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
