@@ -64,3 +64,35 @@ def encode_slice_data(depth8, modes8, coef_y, coef_cb, coef_cr,
     if n < 0:
         raise RuntimeError("hevc_encode_slice failed (buffer too small?)")
     return out[:n].tobytes()
+
+
+def encode_slice_data_p(depth8, mvq8, coef_y, coef_cb, coef_cr,
+                        pad_w: int, pad_h: int, qp: int) -> bytes:
+    """CABAC-encode a P slice's data (native)."""
+    lib = load()
+    if not hasattr(lib, "_p_configured"):
+        lib.hevc_encode_slice_p.restype = ctypes.c_int
+        lib.hevc_encode_slice_p.argtypes = [
+            ctypes.POINTER(ctypes.c_int32)] * 5 + [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib._p_configured = True
+
+    def as_i32(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    d8 = as_i32(depth8)
+    mv = as_i32(mvq8)
+    cy, cb, cr = as_i32(coef_y), as_i32(coef_cb), as_i32(coef_cr)
+    cap = max(1 << 16, cy.size * 4)
+    out = np.empty(cap, np.uint8)
+
+    def ptr(a, t=ctypes.c_int32):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.hevc_encode_slice_p(ptr(d8), ptr(mv), ptr(cy), ptr(cb), ptr(cr),
+                                pad_w, pad_h, qp,
+                                ptr(out, ctypes.c_uint8), cap)
+    if n < 0:
+        raise RuntimeError("hevc_encode_slice_p failed")
+    return out[:n].tobytes()

@@ -74,7 +74,8 @@ enum {
   CTX_TS = 183,               // 2
   CTX_CQP_ADJ_F = 185,        // 1
   CTX_CQP_ADJ_I = 186,        // 1
-  NUM_CTX = 187
+  CTX_QT_ROOT_CBF = 187,      // 1 (appended; see entropy/contexts.py)
+  NUM_CTX = 188
 };
 
 // I-slice (initType 0) init values, same order as entropy/contexts.py.
@@ -114,7 +115,49 @@ static const uint8_t kInitI[NUM_CTX] = {
   138,153,136,167,152,152,
   154,
   139,139,
-  154,154
+  154,154,
+  154
+};
+
+// P-slice (initType 1) init values (entropy/contexts.py rows[1]).
+static const uint8_t kInitP[NUM_CTX] = {
+  153, 185,
+  107,139,126,
+  154,
+  197,185,201,
+  110, 122,
+  154,139,154,154,
+  149,
+  154,
+  152,139,
+  95,79,63,31,31,
+  140,198,
+  153,153,
+  154,154,154,
+  153,111,154,154,154,
+  149,107,167,154,154,
+  124,138,94,
+  121,140,61,154,
+  // sig luma 28
+  155,154,139,153,139,123,123,63,153,166,183,140,136,153,154,
+  166,183,140,136,153,154,166,183,140,136,153,154,140,
+  // sig chroma 16
+  170,153,123,123,107,121,107,121,167,151,183,140,151,183,140,140,
+  // last_x 30
+  125,110,94,110,95,79,125,111,110,78,110,111,111,95,94,
+  108,123,108,154,154,154,154,154,154,154,154,154,154,154,154,
+  // last_y 30
+  125,110,94,110,95,79,125,111,110,78,110,111,111,95,94,
+  108,123,108,154,154,154,154,154,154,154,154,154,154,154,154,
+  // one 24
+  154,196,196,167,154,152,167,182,182,134,149,136,153,121,136,137,
+  169,194,166,167,154,167,137,182,
+  // abs 6
+  107,167,91,122,107,167,
+  168,
+  139,139,
+  154,154,
+  79
 };
 
 static const int kCtxIndMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
@@ -142,9 +185,9 @@ struct Cabac {
   uint8_t state[NUM_CTX];
   uint8_t mps[NUM_CTX];
 
-  Cabac(BitWriter& b, int qp) : bw(b) {
+  Cabac(BitWriter& b, int qp, const uint8_t* init_tab = kInitI) : bw(b) {
     for (int i = 0; i < NUM_CTX; ++i) {
-      int iv = kInitI[i];
+      int iv = init_tab[i];
       int slope = (iv >> 4) * 5 - 45;
       int offset = ((iv & 15) << 3) - 16;
       int q = qp < 0 ? 0 : (qp > 51 ? 51 : qp);
@@ -563,7 +606,183 @@ struct SliceEnc {
   }
 };
 
+
+// ----- P-slice support (twin of entropy/slice_enc_p.py) -----
+
+static inline int interleave4(int v) {
+  v &= 0xF;
+  v = (v | (v << 2)) & 0x33;
+  v = (v | (v << 1)) & 0x55;
+  return v;
+}
+
+static inline int64_t zaddr(int gx, int gy, int n_ctu_x) {
+  int bx = gx >> 2, by = gy >> 2;
+  int cx = bx >> 4, cy = by >> 4;
+  int morton = interleave4(bx & 15) | (interleave4(by & 15) << 1);
+  return (int64_t)(cy * n_ctu_x + cx) * 256 + morton;
+}
+
+struct PSliceEnc {
+  Cabac& c;
+  const int32_t *depth8, *mvq8, *coef_y, *coef_cb, *coef_cr;
+  int W, H, W8, Wc, n_ctu_x;
+
+  int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
+  void mv_at(int x, int y, int mv[2]) const {
+    mv[0] = mvq8[((y >> 3) * W8 + (x >> 3)) * 2 + 0];
+    mv[1] = mvq8[((y >> 3) * W8 + (x >> 3)) * 2 + 1];
+  }
+  bool avail(int xn, int yn, int64_t cur_z) const {
+    if (xn < 0 || yn < 0 || xn >= W || yn >= H) return false;
+    return zaddr(xn, yn, n_ctu_x) < cur_z;
+  }
+  void amvp0(int x0, int y0, int w, int h, int mvp[2]) const {
+    int64_t cur = zaddr(x0, y0, n_ctu_x);
+    const int A[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
+    for (int i = 0; i < 2; ++i)
+      if (avail(A[i][0], A[i][1], cur)) { mv_at(A[i][0], A[i][1], mvp); return; }
+    const int B[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
+                         {x0 - 1, y0 - 1}};
+    for (int i = 0; i < 3; ++i)
+      if (avail(B[i][0], B[i][1], cur)) { mv_at(B[i][0], B[i][1], mvp); return; }
+    mvp[0] = mvp[1] = 0;
+  }
+
+  bool tu_cbf(int plane, int x0, int y0, int size) const {
+    const int32_t* pl; int stride, x, y, sN;
+    if (plane == 0) { pl = coef_y; stride = W; x = x0; y = y0; sN = size; }
+    else { pl = plane == 1 ? coef_cb : coef_cr; stride = Wc;
+           x = x0 >> 1; y = y0 >> 1; sN = size >> 1; }
+    for (int yy = 0; yy < sN; ++yy)
+      for (int xx = 0; xx < sN; ++xx)
+        if (pl[(y + yy) * stride + (x + xx)]) return true;
+    return false;
+  }
+
+  void eg1(int v) {
+    int count = 1;
+    while (v >= (1 << count)) { c.ep(1); v -= (1 << count); ++count; }
+    c.ep(0);
+    c.eps(v, count);
+  }
+
+  void code_residual(const int32_t* blk, int stride, int n, bool is_luma) {
+    SliceEnc se{c, nullptr, nullptr, coef_y, coef_cb, coef_cr, W, H, W8, Wc};
+    se.code_residual(blk, stride, n, is_luma, 0);
+  }
+
+  void transform_unit(int x0, int y0, int size, bool cl, bool ccb, bool ccr) {
+    if (!(cl || ccb || ccr)) return;
+    if (cl) code_residual(coef_y + y0 * W + x0, W, size, true);
+    int half = size >> 1;
+    if (ccb) code_residual(coef_cb + (y0 >> 1) * Wc + (x0 >> 1), Wc, half,
+                           false);
+    if (ccr) code_residual(coef_cr + (y0 >> 1) * Wc + (x0 >> 1), Wc, half,
+                           false);
+  }
+
+  void transform_tree(int x0, int y0, int size, bool cbf_cb, bool cbf_cr) {
+    bool split = size > 32;
+    c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cb);
+    c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cr);
+    if (split) {
+      int h = size >> 1;
+      const int off[4][2] = {{0,0},{h,0},{0,h},{h,h}};
+      for (int i = 0; i < 4; ++i) {
+        int x1 = x0 + off[i][0], y1 = y0 + off[i][1];
+        bool ccb = cbf_cb && tu_cbf(1, x1, y1, h);
+        bool ccr = cbf_cr && tu_cbf(2, x1, y1, h);
+        if (cbf_cb) c.bin(CTX_QT_CBF_CHROMA + 1, ccb);
+        if (cbf_cr) c.bin(CTX_QT_CBF_CHROMA + 1, ccr);
+        bool cl = tu_cbf(0, x1, y1, h);
+        c.bin(CTX_QT_CBF_LUMA + 0, cl);
+        transform_unit(x1, y1, h, cl, ccb, ccr);
+      }
+    } else {
+      bool cl = tu_cbf(0, x0, y0, size);
+      if (cbf_cb || cbf_cr) c.bin(CTX_QT_CBF_LUMA + 1, cl);
+      // else: inferred 1
+      transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr);
+    }
+  }
+
+  void coding_unit(int x0, int y0, int size) {
+    c.bin(CTX_SKIP + 0, 0);
+    c.bin(CTX_PRED_MODE, 0);
+    c.bin(CTX_PART_MODE, 1);
+    c.bin(CTX_MERGE_FLAG, 0);
+    int mv[2], mvp[2];
+    mv_at(x0, y0, mv);
+    amvp0(x0, y0, size, size, mvp);
+    int mvd[2] = {mv[0] - mvp[0], mv[1] - mvp[1]};
+    int ax = mvd[0] < 0 ? -mvd[0] : mvd[0];
+    int ay = mvd[1] < 0 ? -mvd[1] : mvd[1];
+    c.bin(CTX_MVD + 0, ax > 0);
+    c.bin(CTX_MVD + 0, ay > 0);
+    if (ax > 0) c.bin(CTX_MVD + 1, ax > 1);
+    if (ay > 0) c.bin(CTX_MVD + 1, ay > 1);
+    if (ax > 0) {
+      if (ax > 1) eg1(ax - 2);
+      c.ep(mvd[0] < 0);
+    }
+    if (ay > 0) {
+      if (ay > 1) eg1(ay - 2);
+      c.ep(mvd[1] < 0);
+    }
+    c.bin(CTX_MVP_IDX, 0);
+    bool cl = tu_cbf(0, x0, y0, size);
+    bool ccb = tu_cbf(1, x0, y0, size);
+    bool ccr = tu_cbf(2, x0, y0, size);
+    int root = (cl || ccb || ccr) ? 1 : 0;
+    c.bin(CTX_QT_ROOT_CBF, root);
+    if (root) transform_tree(x0, y0, size, ccb, ccr);
+  }
+
+  void coding_quadtree(int x0, int y0, int size, int depth) {
+    bool inside = (x0 + size <= W) && (y0 + size <= H);
+    bool split = cu_depth_at(x0, y0) > depth;
+    if (inside && size > 8) {
+      int inc = 0;
+      if (x0 > 0) inc += cu_depth_at(x0 - 1, y0) > depth;
+      if (y0 > 0) inc += cu_depth_at(x0, y0 - 1) > depth;
+      c.bin(CTX_SPLIT_CU + inc, split);
+    }
+    if ((inside && split) || (!inside && size > 8)) {
+      int h = size >> 1;
+      const int off[4][2] = {{0,0},{h,0},{0,h},{h,h}};
+      for (int i = 0; i < 4; ++i) {
+        int x1 = x0 + off[i][0], y1 = y0 + off[i][1];
+        if (x1 < W && y1 < H) coding_quadtree(x1, y1, h, depth + 1);
+      }
+    } else coding_unit(x0, y0, size);
+  }
+};
+
 }  // namespace
+
+extern "C" int hevc_encode_slice_p(const int32_t* depth8,
+                                   const int32_t* mvq8,
+                                   const int32_t* coef_y,
+                                   const int32_t* coef_cb,
+                                   const int32_t* coef_cr,
+                                   int pad_w, int pad_h, int qp,
+                                   uint8_t* out, int out_cap) {
+  BitWriter bw;
+  Cabac cab(bw, qp, kInitP);
+  PSliceEnc se{cab, depth8, mvq8, coef_y, coef_cb, coef_cr,
+               pad_w, pad_h, pad_w / 8, pad_w / 2, (pad_w + 63) / 64};
+  int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
+  int n_ctu = nx * ny;
+  for (int ci = 0; ci < n_ctu; ++ci) {
+    int cy = ci / nx, cx = ci % nx;
+    se.coding_quadtree(cx * 64, cy * 64, 64, 0);
+    cab.terminate(ci == n_ctu - 1 ? 1 : 0);
+  }
+  if ((int)bw.bytes.size() > out_cap) return -1;
+  std::memcpy(out, bw.bytes.data(), bw.bytes.size());
+  return (int)bw.bytes.size();
+}
 
 extern "C" int hevc_encode_slice(const int32_t* depth8, const int32_t* modes8,
                                  const int32_t* coef_y,

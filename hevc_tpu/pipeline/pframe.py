@@ -155,9 +155,18 @@ class LDPEncoder:
                 depth8 = np.zeros((h8, w8), np.int32)
 
                 bw = headers.start_p_slice(cfg, cfg.qp, poc)
-                pse = PSliceEncoder(cfg, cfg.qp)
-                pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
-                chunks.append(headers.finish_p_slice_nal(bw))
+                try:
+                    from .. import native
+                    data = native.encode_slice_data_p(
+                        depth8, mvq8, coef_y, coef_cb, coef_cr,
+                        W, H, cfg.qp)
+                    from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
+                    chunks.append(nal_unit(NAL_TRAIL_R,
+                                           bw.get_bytes() + data))
+                except Exception:
+                    pse = PSliceEncoder(cfg, cfg.qp)
+                    pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
+                    chunks.append(headers.finish_p_slice_nal(bw))
             if with_hash_sei:
                 chunks.append(headers.write_hash_sei(
                     golden.md5_plane(rec.y), golden.md5_plane(rec.cb),

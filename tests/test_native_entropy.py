@@ -42,3 +42,48 @@ def test_native_matches_python(dims, qp, seed):
         decisions["coef_cb"], decisions["coef_cr"],
         cfg.pad_width, cfg.pad_height, cfg.qp)
     assert c_bytes == py_bytes
+
+
+def test_native_p_slice_matches_python():
+    """Native P-slice CABAC == Python PSliceEncoder byte-for-byte."""
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+    from hevc_tpu.pipeline.pframe import LDPEncoder
+    from hevc_tpu.core.yuv import Frame
+    import numpy as np
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32)
+    base = synth_frame(128, 64, seed=30)
+    y1 = np.roll(base.y, (1, 2), axis=(0, 1))
+    frames = [base, Frame(y1, base.cb, base.cr)]
+    enc = LDPEncoder(cfg)
+    # reproduce the decision arrays the encoder feeds the entropy stage
+    from hevc_tpu.core.yuv import pad_frame
+    from hevc_tpu.pipeline import ldp as ldp_mod
+    pf0 = pad_frame(frames[0], cfg.pad_width, cfg.pad_height)
+    d8, m8 = enc.intra.decide_frame(pf0.y)
+    _, rec0 = enc.intra.reconstruct(pf0, d8, m8)
+    pf1 = pad_frame(frames[1], cfg.pad_width, cfg.pad_height)
+    (cy, ccb, ccr, ry, rcb, rcr, mvq) = enc._p_jit(
+        pf1.y.astype(np.int32), pf1.cb.astype(np.int32),
+        pf1.cr.astype(np.int32), rec0.y.astype(np.int32),
+        rec0.cb.astype(np.int32), rec0.cr.astype(np.int32))
+    W, H = cfg.pad_width, cfg.pad_height
+    coef_y = ldp_mod.tiles_to_plane(cy, W, H, 64)
+    coef_cb = ldp_mod.tiles_to_plane(ccb, W // 2, H // 2, 32)
+    coef_cr = ldp_mod.tiles_to_plane(ccr, W // 2, H // 2, 32)
+    mvq = np.asarray(mvq)
+    mvq8 = np.zeros((H // 8, W // 8, 2), np.int32)
+    for b in range(mvq.shape[0]):
+        by, bx = divmod(b, cfg.ctus_x)
+        mvq8[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = mvq[b]
+    depth8 = np.zeros((H // 8, W // 8), np.int32)
+
+    bw = headers.start_p_slice(cfg, cfg.qp, 1)
+    hl = len(bw.get_bytes())
+    pse = PSliceEncoder(cfg, cfg.qp)
+    pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
+    py_bytes = bw.get_bytes()[hl:]
+
+    c_bytes = native.encode_slice_data_p(
+        depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, cfg.qp)
+    assert c_bytes == py_bytes
