@@ -22,6 +22,9 @@ class EncoderConfig:
     level_idc: int = 120          # level 4.0
     deblock: bool = False         # in-loop deblocking (ops/deblock.py)
     rdoq: bool = True             # RD-optimized quantization (ops/rdoq.py)
+    # LDP GOP-4 per-frame QP offsets by POC % 4 (1,2,3,0), matching the
+    # reference encoder_lowdelay_P_main.cfg Frame1..4 QPoffset column.
+    gop_qp_offsets: tuple = (3, 2, 3, 1)
     # fixed toolset
     ctu_size: int = 64
     min_cu: int = 8

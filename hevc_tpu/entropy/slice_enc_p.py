@@ -1,16 +1,23 @@
-"""P-slice entropy encoding: inter CUs with AMVP + MVD (no merge).
+"""P-slice entropy encoding: inter CUs with skip/merge + AMVP/MVD.
 
-Minimal conformant Low-Delay-P coding layer (v0): every CU is inter
-2Nx2N with one reference (the previous picture), merge_flag=0,
-mvp_l0_flag=0; MVDs are coded against the normative AMVP candidate 0
-(H.265 8.5.3.2.6-7 — the same-reference fast path, since all pictures
-reference their immediate predecessor no MV scaling is involved).
+Conformant Low-Delay-P coding layer: every CU is inter 2Nx2N with one
+reference (the previous picture). Motion is coded opportunistically in
+z-order: if a CU's MV equals a normative merge candidate it is coded as
+cu_skip (when the CU has no residual — rqt_root_cbf is *inferred* 1 for
+2Nx2N merge, 7.3.8.5) or merge_flag=1; otherwise AMVP + MVD against the
+normative candidate 0 (H.265 8.5.3.2.6-7 — the same-reference fast
+path, since all pictures reference their immediate predecessor no MV
+scaling is involved). Merge candidates follow 8.5.3.2.3 under the
+all-inter / single-ref / TMVP-off simplifications: spatial A1 B1 B0 A0
+(+B2 if fewer than 4) with the normative pruning, zero-MV padded to
+MaxNumMergeCand = 5.
 
-Behavioral counterparts: HM TEncSbac codeSkipFlag/codeMergeFlag/codeMvd/
-codeQtRootCbf; TComDataCU::fillMvpCand.
+Behavioral counterparts: HM TEncSbac codeSkipFlag/codeMergeFlag/
+codeMergeIndex/codeMvd/codeQtRootCbf; TComDataCU::fillMvpCand/
+getInterMergeCandidates.
 
 Decisions consumed per frame:
-  depth8 [H8, W8]   CU depths (0 except boundary-forced splits)
+  depth8 [H8, W8]   CU depths (quadtree from pipeline/psearch)
   mvq8   [H8, W8, 2] quarter-pel MVs per 8x8 unit
   coef_y/cb/cr      quantized coefficient planes (TUs in place)
 """
@@ -58,6 +65,45 @@ def amvp_cand0(mvq8, x0, y0, w, h, pad_w, pad_h, zmap):
     return (0, 0)
 
 
+def merge_candidates(mvq8, x0, y0, size, pad_w, pad_h, zmap):
+    """Normative merge candidate list (8.5.3.2.3) for a 2Nx2N inter PB
+    under the all-inter / single-ref / TMVP-off simplifications.
+
+    Returns 5 (mvx, mvy) tuples; motion equality == MV equality since all
+    PBs use refIdx 0 uni-L0.
+    """
+    cur_z = zmap[y0 >> 2, x0 >> 2]
+
+    def at(xn, yn):
+        if xn < 0 or yn < 0 or xn >= pad_w or yn >= pad_h:
+            return None
+        if zmap[yn >> 2, xn >> 2] >= cur_z:
+            return None
+        return (int(mvq8[yn >> 3, xn >> 3, 0]),
+                int(mvq8[yn >> 3, xn >> 3, 1]))
+
+    a1 = at(x0 - 1, y0 + size - 1)
+    b1 = at(x0 + size - 1, y0 - 1)
+    b0 = at(x0 + size, y0 - 1)
+    a0 = at(x0 - 1, y0 + size)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4:
+        b2 = at(x0 - 1, y0 - 1)
+        if b2 is not None and b2 != a1 and b2 != b1:
+            cands.append(b2)
+    while len(cands) < 5:
+        cands.append((0, 0))   # zero-MV padding, refIdx 0
+    return cands[:5]
+
+
 class PSliceEncoder:
     def __init__(self, cfg, frame_qp: int):
         self.cfg = cfg
@@ -77,6 +123,7 @@ class PSliceEncoder:
         enc = CabacEncoder(bw)
         self.ctx = ctx
         self.enc = enc
+        self.skip8 = np.zeros((self.H >> 3, self.W >> 3), np.uint8)
 
         nx, ny = self.cfg.ctus_x, self.cfg.ctus_y
         n_ctu = nx * ny
@@ -118,19 +165,56 @@ class PSliceEncoder:
         self.enc.encode_bypass(0)
         self.enc.encode_bypass_bins(v, count)
 
+    def _write_merge_idx(self, idx):
+        """merge_idx: TU cMax = MaxNumMergeCand-1 = 4; first bin
+        context-coded, remaining bypass (9.3.3.7)."""
+        enc, ctx = self.enc, self.ctx
+        enc.encode_bin(ctx, ctx.idx("merge_idx"), int(idx > 0))
+        if idx > 0:
+            for _ in range(1, idx):
+                enc.encode_bypass(1)
+            if idx < 4:
+                enc.encode_bypass(0)
+
+    def _skip_ctx_inc(self, x0, y0):
+        inc = 0
+        if x0 > 0:
+            inc += int(self.skip8[y0 >> 3, (x0 - 1) >> 3])
+        if y0 > 0:
+            inc += int(self.skip8[(y0 - 1) >> 3, x0 >> 3])
+        return inc
+
     def _coding_unit(self, x0, y0, size):
         enc, ctx = self.enc, self.ctx
-        # cu_skip_flag: never skipped; neighbours are all non-skip -> ctx 0
-        enc.encode_bin(ctx, ctx.idx("skip_flag", 0), 0)
+        mv = (int(self.mvq8[y0 >> 3, x0 >> 3, 0]),
+              int(self.mvq8[y0 >> 3, x0 >> 3, 1]))
+        cands = merge_candidates(self.mvq8, x0, y0, size, self.W, self.H,
+                                 self.zmap)
+        merge_idx = cands.index(mv) if mv in cands else -1
+        cbf_l = self._tu_cbf(0, x0, y0, size)
+        cbf_cb = self._tu_cbf(1, x0, y0, size)
+        cbf_cr = self._tu_cbf(2, x0, y0, size)
+        root_cbf = int(cbf_l or cbf_cb or cbf_cr)
+
+        skip = merge_idx >= 0 and not root_cbf
+        enc.encode_bin(ctx, ctx.idx("skip_flag", self._skip_ctx_inc(x0, y0)),
+                       int(skip))
+        if skip:
+            self._write_merge_idx(merge_idx)
+            self.skip8[y0 >> 3:(y0 + size) >> 3,
+                       x0 >> 3:(x0 + size) >> 3] = 1
+            return
         # pred_mode_flag: inter
         enc.encode_bin(ctx, ctx.idx("pred_mode"), 0)
         # part_mode: 2Nx2N
         enc.encode_bin(ctx, ctx.idx("part_mode", 0), 1)
-        # merge_flag = 0
-        enc.encode_bin(ctx, ctx.idx("merge_flag"), 0)
+        enc.encode_bin(ctx, ctx.idx("merge_flag"), int(merge_idx >= 0))
+        if merge_idx >= 0:
+            self._write_merge_idx(merge_idx)
+            # rqt_root_cbf inferred 1 for 2Nx2N merge (7.3.8.5)
+            self._transform_tree(x0, y0, size, cbf_cb, cbf_cr)
+            return
         # (P slice, 1 active ref: no inter_pred_idc, no ref_idx)
-        mv = (int(self.mvq8[y0 >> 3, x0 >> 3, 0]),
-              int(self.mvq8[y0 >> 3, x0 >> 3, 1]))
         mvp = amvp_cand0(self.mvq8, x0, y0, size, size, self.W, self.H,
                          self.zmap)
         mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
@@ -152,10 +236,6 @@ class PSliceEncoder:
         # mvp_l0_flag = 0
         enc.encode_bin(ctx, ctx.idx("mvp_idx"), 0)
 
-        cbf_l = self._tu_cbf(0, x0, y0, size)
-        cbf_cb = self._tu_cbf(1, x0, y0, size)
-        cbf_cr = self._tu_cbf(2, x0, y0, size)
-        root_cbf = int(cbf_l or cbf_cb or cbf_cr)
         enc.encode_bin(ctx, ctx.idx("qt_root_cbf"), root_cbf)
         if not root_cbf:
             return

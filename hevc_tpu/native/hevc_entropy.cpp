@@ -627,6 +627,7 @@ struct PSliceEnc {
   Cabac& c;
   const int32_t *depth8, *mvq8, *coef_y, *coef_cb, *coef_cr;
   int W, H, W8, Wc, n_ctu_x;
+  std::vector<uint8_t> skip8;  // coded-CU skip flags, 8x8 granularity
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
   void mv_at(int x, int y, int mv[2]) const {
@@ -707,13 +708,98 @@ struct PSliceEnc {
     }
   }
 
+  // Normative merge candidate list (8.5.3.2.3) under the all-inter /
+  // single-ref / TMVP-off simplifications (twin of Python
+  // merge_candidates in entropy/slice_enc_p.py).
+  int merge_cands(int x0, int y0, int size, int cands[5][2]) const {
+    int64_t cur = zaddr(x0, y0, n_ctu_x);
+    int a1[2], b1[2], b0[2], a0[2], b2[2];
+    bool ha1 = avail(x0 - 1, y0 + size - 1, cur);
+    bool hb1 = avail(x0 + size - 1, y0 - 1, cur);
+    bool hb0 = avail(x0 + size, y0 - 1, cur);
+    bool ha0 = avail(x0 - 1, y0 + size, cur);
+    if (ha1) mv_at(x0 - 1, y0 + size - 1, a1);
+    if (hb1) mv_at(x0 + size - 1, y0 - 1, b1);
+    if (hb0) mv_at(x0 + size, y0 - 1, b0);
+    if (ha0) mv_at(x0 - 1, y0 + size, a0);
+    auto same = [](bool ha, const int* a, bool hb, const int* b) {
+      return ha && hb && a[0] == b[0] && a[1] == b[1];
+    };
+    int n = 0;
+    if (ha1) { cands[n][0] = a1[0]; cands[n][1] = a1[1]; ++n; }
+    if (hb1 && !same(hb1, b1, ha1, a1)) {
+      cands[n][0] = b1[0]; cands[n][1] = b1[1]; ++n;
+    }
+    if (hb0 && !same(hb0, b0, hb1, b1)) {
+      cands[n][0] = b0[0]; cands[n][1] = b0[1]; ++n;
+    }
+    if (ha0 && !same(ha0, a0, ha1, a1)) {
+      cands[n][0] = a0[0]; cands[n][1] = a0[1]; ++n;
+    }
+    if (n < 4) {
+      bool hb2 = avail(x0 - 1, y0 - 1, cur);
+      if (hb2) {
+        mv_at(x0 - 1, y0 - 1, b2);
+        if (!same(hb2, b2, ha1, a1) && !same(hb2, b2, hb1, b1)) {
+          cands[n][0] = b2[0]; cands[n][1] = b2[1]; ++n;
+        }
+      }
+    }
+    while (n < 5) { cands[n][0] = 0; cands[n][1] = 0; ++n; }
+    return 5;
+  }
+
+  void write_merge_idx(int idx) {
+    // TU cMax = 4; first bin context-coded, rest bypass (9.3.3.7)
+    c.bin(CTX_MERGE_IDX, idx > 0);
+    if (idx > 0) {
+      for (int i = 1; i < idx; ++i) c.ep(1);
+      if (idx < 4) c.ep(0);
+    }
+  }
+
+  int skip_ctx_inc(int x0, int y0) const {
+    int inc = 0;
+    if (x0 > 0) inc += skip8[(y0 >> 3) * W8 + ((x0 - 1) >> 3)];
+    if (y0 > 0) inc += skip8[((y0 - 1) >> 3) * W8 + (x0 >> 3)];
+    return inc;
+  }
+
   void coding_unit(int x0, int y0, int size) {
-    c.bin(CTX_SKIP + 0, 0);
+    int mv[2];
+    mv_at(x0, y0, mv);
+    int cands[5][2];
+    merge_cands(x0, y0, size, cands);
+    int merge_idx = -1;
+    for (int i = 0; i < 5; ++i)
+      if (cands[i][0] == mv[0] && cands[i][1] == mv[1]) {
+        merge_idx = i;
+        break;
+      }
+    bool cl = tu_cbf(0, x0, y0, size);
+    bool ccb = tu_cbf(1, x0, y0, size);
+    bool ccr = tu_cbf(2, x0, y0, size);
+    int root = (cl || ccb || ccr) ? 1 : 0;
+
+    bool skip = merge_idx >= 0 && !root;
+    c.bin(CTX_SKIP + skip_ctx_inc(x0, y0), skip);
+    if (skip) {
+      write_merge_idx(merge_idx);
+      for (int yy = y0 >> 3; yy < (y0 + size) >> 3; ++yy)
+        for (int xx = x0 >> 3; xx < (x0 + size) >> 3; ++xx)
+          skip8[yy * W8 + xx] = 1;
+      return;
+    }
     c.bin(CTX_PRED_MODE, 0);
     c.bin(CTX_PART_MODE, 1);
-    c.bin(CTX_MERGE_FLAG, 0);
-    int mv[2], mvp[2];
-    mv_at(x0, y0, mv);
+    c.bin(CTX_MERGE_FLAG, merge_idx >= 0);
+    if (merge_idx >= 0) {
+      write_merge_idx(merge_idx);
+      // rqt_root_cbf inferred 1 for 2Nx2N merge (7.3.8.5)
+      transform_tree(x0, y0, size, ccb, ccr);
+      return;
+    }
+    int mvp[2];
     amvp0(x0, y0, size, size, mvp);
     int mvd[2] = {mv[0] - mvp[0], mv[1] - mvp[1]};
     int ax = mvd[0] < 0 ? -mvd[0] : mvd[0];
@@ -731,10 +817,6 @@ struct PSliceEnc {
       c.ep(mvd[1] < 0);
     }
     c.bin(CTX_MVP_IDX, 0);
-    bool cl = tu_cbf(0, x0, y0, size);
-    bool ccb = tu_cbf(1, x0, y0, size);
-    bool ccr = tu_cbf(2, x0, y0, size);
-    int root = (cl || ccb || ccr) ? 1 : 0;
     c.bin(CTX_QT_ROOT_CBF, root);
     if (root) transform_tree(x0, y0, size, ccb, ccr);
   }
@@ -771,7 +853,8 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
   BitWriter bw;
   Cabac cab(bw, qp, kInitP);
   PSliceEnc se{cab, depth8, mvq8, coef_y, coef_cb, coef_cr,
-               pad_w, pad_h, pad_w / 8, pad_w / 2, (pad_w + 63) / 64};
+               pad_w, pad_h, pad_w / 8, pad_w / 2, (pad_w + 63) / 64,
+               std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0)};
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
   int n_ctu = nx * ny;
   for (int ci = 0; ci < n_ctu; ++ci) {

@@ -150,14 +150,26 @@ def predict_inter_ctu(ref_plane, origins, mv_q, *, is_luma=True):
     MVs. mv_q: [B, 2] in quarter-pel luma units. For chroma the same MV is
     interpreted at 1/8 resolution per 4:2:0.
     """
+    return predict_inter_blocks(ref_plane, origins, mv_q,
+                                64 if is_luma else 32, is_luma=is_luma)
+
+
+def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
+                         is_luma=True):
+    """Batched MC of size x size blocks at quarter(eighth)-pel MVs.
+
+    origins: [B, 2] (x, y) in the plane's own coordinates (chroma origins
+    are chroma coords). mv_q: [B, 2] quarter-pel *luma* MVs; chroma uses
+    the same MV at 1/8 resolution per 4:2:0 (H.265 8.5.3.2.9).
+    """
     h, w = ref_plane.shape
     if is_luma:
-        size, border, lead = 64, 7, 3
+        border, lead = 7, 3
         mv_int = mv_q >> 2
         frac = mv_q & 3
         n_frac = 4
     else:
-        size, border, lead = 32, 3, 1
+        border, lead = 3, 1
         mv_int = mv_q >> 3
         frac = mv_q & 7
         n_frac = 8
@@ -177,3 +189,74 @@ def predict_inter_ctu(ref_plane, origins, mv_q, *, is_luma=True):
         jnp.stack([mc(win, fx, fy, size, size) for fx in range(n_frac)], 0)
         for fy in range(n_frac)], 0)          # [n_frac, n_frac, B, s, s]
     return preds[frac[:, 1], frac[:, 0], jnp.arange(B)]
+
+
+def quarter_refine_blocks(cur_blocks, ref_plane, origins, mv_int,
+                          size: int):
+    """Quarter-pel refinement sweep around integer MVs for size x size
+    luma blocks: mv_q = 4*mv_int + (dx, dy), dx/dy in [-3, 3].
+
+    cur_blocks: [B, s, s]; origins: [B, 2] (x, y); mv_int: [B, 2].
+    Returns (mv_q [B, 2] int32, best_sad [B]).
+    """
+    B = cur_blocks.shape[0]
+    h, w = ref_plane.shape
+    lead, border = 4, 9    # extra margin for -3/4 shifts
+    ext = size + border
+    base_x = origins[:, 0:1, None] + mv_int[:, 0:1, None] - lead
+    base_y = origins[:, 1:2, None] + mv_int[:, 1:2, None] - lead
+    ys = jnp.clip(base_y + jnp.arange(ext)[None, :, None], 0, h - 1)
+    xs = jnp.clip(base_x + jnp.arange(ext)[None, None, :], 0, w - 1)
+    win = jnp.take(ref_plane.reshape(-1), ys * w + xs, axis=0
+                   ).astype(jnp.int32)  # [B, ext, ext]
+    cur = cur_blocks.astype(jnp.int32)
+
+    cands = []
+    for qdy in range(-3, 4):
+        for qdx in range(-3, 4):
+            iy, fy = (qdy >> 2) + 1, qdy & 3   # +1 re-centers the window
+            ix, fx = (qdx >> 2) + 1, qdx & 3
+            sub = win[:, iy:iy + size + 7, ix:ix + size + 7]
+            pred = mc_luma(sub, fx, fy, size, size)
+            sad = jnp.abs(pred - cur).sum((1, 2))
+            cands.append((qdx, qdy, sad))
+    sads = jnp.stack([c[2] for c in cands], 0)         # [49, B]
+    offs = jnp.asarray([[c[0], c[1]] for c in cands])  # [49, 2]
+    best = jnp.argmin(sads, axis=0)
+    mv_q = mv_int * 4 + offs[best]
+    return mv_q.astype(jnp.int32), jnp.min(sads, 0)
+
+
+def sad_grid8(cur_tiles, ref_plane, origins, radius: int = 8):
+    """Integer-pel SAD field at 8x8-block granularity for 64x64 tiles.
+
+    The quadtree ME primitive: SAD is additive over sub-blocks at a fixed
+    candidate MV, so per-8x8 SADs aggregate bottom-up into exact SADs for
+    16/32/64 blocks (replaces HM's per-PU TZ search TEncSearch.cpp:3663
+    with one shared full-search field).
+
+    cur_tiles: [B, 64, 64]; origins: [B, 2].
+    Returns sads [n_cand, B, 8, 8] int32 with candidate (dy, dx) raster
+    over the (2*radius+1)^2 window (cand c -> dy = c//(2r+1)-r, dx =
+    c%(2r+1)-r).
+    """
+    B = cur_tiles.shape[0]
+    h, w = ref_plane.shape
+    r = radius
+    span = 64 + 2 * r
+    ys = jnp.clip(origins[:, 1:2, None] - r
+                  + jnp.arange(span)[None, :, None], 0, h - 1)
+    xs = jnp.clip(origins[:, 0:1, None] - r
+                  + jnp.arange(span)[None, None, :], 0, w - 1)
+    windows = jnp.take(ref_plane.reshape(-1), ys * w + xs, axis=0
+                       ).astype(jnp.int32)  # [B, span, span]
+    cur = cur_tiles.astype(jnp.int32)
+    n_cand = (2 * r + 1) ** 2
+
+    def cand_sad(c):
+        dy, dx = c // (2 * r + 1), c % (2 * r + 1)
+        win = jax.lax.dynamic_slice(windows, (0, dy, dx), (B, 64, 64))
+        ad = jnp.abs(win - cur)
+        return ad.reshape(B, 8, 8, 8, 8).sum((2, 4))   # [B, 8, 8]
+
+    return jax.vmap(cand_sad)(jnp.arange(n_cand))

@@ -36,34 +36,8 @@ from ..pipeline import search as search_lib
 
 def _quarter_refine(cur_tiles, ref_plane, origins, mv_int):
     """Quarter-pel sweep: mv_q = 4*mv_int + (dx, dy), dx/dy in [-3, 3]."""
-    B = cur_tiles.shape[0]
-    h, w = ref_plane.shape
-    size, lead, border = 64, 4, 9   # extra margin for -3/4 shifts
-    ext = size + border
-    base_x = origins[:, 0:1, None] + mv_int[:, 0:1, None] - lead
-    base_y = origins[:, 1:2, None] + mv_int[:, 1:2, None] - lead
-    ys = jnp.clip(base_y + jnp.arange(ext)[None, :, None], 0, h - 1)
-    xs = jnp.clip(base_x + jnp.arange(ext)[None, None, :], 0, w - 1)
-    win = jnp.take(ref_plane.reshape(-1), ys * w + xs, axis=0
-                   ).astype(jnp.int32)  # [B, ext, ext]
-    cur = cur_tiles.astype(jnp.int32)
-
-    best_sad = None
-    best_q = None
-    cands = []
-    for qdy in range(-3, 4):
-        for qdx in range(-3, 4):
-            iy, fy = (qdy >> 2) + 1, qdy & 3   # +1 re-centers the window
-            ix, fx = (qdx >> 2) + 1, qdx & 3
-            sub = win[:, iy:iy + size + 7, ix:ix + size + 7]
-            pred = inter.mc_luma(sub, fx, fy, size, size)
-            sad = jnp.abs(pred - cur).sum((1, 2))
-            cands.append((qdx, qdy, sad))
-    sads = jnp.stack([c[2] for c in cands], 0)        # [49, B]
-    offs = jnp.asarray([[c[0], c[1]] for c in cands])  # [49, 2]
-    best = jnp.argmin(sads, axis=0)
-    mv_q = mv_int * 4 + offs[best]
-    return mv_q.astype(jnp.int32), jnp.min(sads, 0)
+    return inter.quarter_refine_blocks(cur_tiles, ref_plane, origins,
+                                       mv_int, 64)
 
 
 def pre_encode(cur: np.ndarray, ref: np.ndarray, cur_cb, ref_cb, cur_cr,

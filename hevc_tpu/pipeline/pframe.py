@@ -95,76 +95,137 @@ def encode_p_frame_device(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, *,
 
 
 class LDPEncoder:
-    """Low-Delay-P sequence encoder: IDR + P frames (v0 flat inter CUs).
+    """Low-Delay-P sequence encoder: IDR + full CU-tree P frames.
 
     Replaces the reference's two-binary lockstep (SURVEY.md 3.2) with a
-    single program: the AI path codes frame 0, every following frame is
-    motion-compensated against the previous reconstruction on device and
-    entropy-coded as a conformant P slice.
+    single program per frame: (1) optional forced-64x64 pre-encode
+    against the previous reconstruction producing the residue frame, (2)
+    ETH-CNN+ETH-LSTM HCPM prediction with resident state, (3) HCPM-gated
+    quadtree inter search + coding (pipeline/psearch), (4) merge/skip-
+    aware P-slice CABAC. GOP-4 per-frame QP offsets follow the reference
+    encoder_lowdelay_P_main.cfg operating point.
+
+    tree='full' runs pipeline/psearch (quadtree + merge/skip entropy);
+    tree='flat' keeps the v0 single-64x64-CU path (kept for parity
+    tests and as the fastest operating point).
     """
 
-    def __init__(self, cfg, cnn_params=None):
+    def __init__(self, cfg, cnn_params=None, lstm_params=None,
+                 thresholds=None, tree: str = "full",
+                 use_gop_qp: bool = True):
         assert cfg.pad_width % 64 == 0 and cfg.pad_height % 64 == 0, \
-            "LDP v0 requires CTU-aligned dims"
+            "LDP requires CTU-aligned dims"
         assert not cfg.deblock, \
-            "LDP v0: deblocking needs inter bS derivation (round 2)"
+            "LDP: deblocking needs inter bS derivation (round 2)"
         self.cfg = cfg
+        self.tree = tree
+        self.use_gop_qp = use_gop_qp
         from .ai import AIEncoder
+        from . import ldp as ldp_mod, psearch as psearch_mod
         self.intra = AIEncoder(cfg, cnn_params=cnn_params)
-        self._p_jit = jax.jit(functools.partial(
-            encode_p_frame_device, qp=cfg.qp, pad_w=cfg.pad_width,
-            pad_h=cfg.pad_height))
+        self.predictor = None
+        if lstm_params is not None:
+            self.predictor = ldp_mod.LDPPredictor(cfg, lstm_params,
+                                                  thresholds)
+            self._pre_jit = jax.jit(functools.partial(
+                ldp_mod.pre_encode, pad_w=cfg.pad_width,
+                pad_h=cfg.pad_height))
+        self._p_jit = {}        # frame_qp -> jitted search
+        self._psearch = psearch_mod.p_search_frame
+
+    def _frame_qp(self, poc: int) -> int:
+        if poc == 0 or not self.use_gop_qp:
+            return self.cfg.qp
+        off = self.cfg.gop_qp_offsets[(poc - 1) % 4]
+        return min(51, self.cfg.qp + off)
+
+    def _search_fn(self, frame_qp: int, gated: bool):
+        key = (frame_qp, gated)
+        if key not in self._p_jit:
+            cfg = self.cfg
+            thr = (self.predictor.thr if (gated and self.predictor)
+                   else None)
+            kw = dict(qp=frame_qp, pad_w=cfg.pad_width,
+                      pad_h=cfg.pad_height, use_rdoq=cfg.rdoq)
+            if thr is not None:
+                kw.update(thr_up=thr.up, thr_down=thr.down)
+            if self.tree == "flat":
+                fn = functools.partial(
+                    encode_p_frame_device, qp=frame_qp,
+                    pad_w=cfg.pad_width, pad_h=cfg.pad_height)
+            else:
+                fn = functools.partial(self._psearch, **kw)
+            self._p_jit[key] = jax.jit(fn)
+        return self._p_jit[key]
 
     def encode(self, frames, with_hash_sei: bool = True):
         from ..core.yuv import Frame, pad_frame
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
         from . import golden, ldp as ldp_mod
+        from . import search as search_lib
 
         cfg = self.cfg
+        W, H = cfg.pad_width, cfg.pad_height
         chunks = [headers.write_vps(cfg), headers.write_sps(cfg),
                   headers.write_pps(cfg)]
         recons = []
         prev = None
+        origins = jnp.asarray(search_lib.ctu_grid(W, H))
+        if self.predictor is not None:
+            self.predictor.reset()
         for poc, frame in enumerate(frames):
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
+            frame_qp = self._frame_qp(poc)
             if poc == 0:
                 d8, m8 = self.intra.decide_frame(pf.y)
                 decisions, rec = self.intra.reconstruct(pf, d8, m8)
                 chunks.append(self.intra._entropy_encode(decisions))
+            elif self.tree == "flat":
+                rec, chunk = self._encode_flat(pf, prev, poc, frame_qp)
+                chunks.append(chunk)
             else:
-                (cy, ccb, ccr, ry, rcb, rcr, mvq) = self._p_jit(
+                hcpm = None
+                if self.predictor is not None:
+                    ry, _, _, _ = self._pre_jit(
+                        pf.y.astype(np.int32), prev.y.astype(np.int32),
+                        pf.cb.astype(np.int32), prev.cb.astype(np.int32),
+                        pf.cr.astype(np.int32), prev.cr.astype(np.int32))
+                    hcpm = self.predictor.step(ry, poc)
+                res = self._search_fn(frame_qp, hcpm is not None)(
                     pf.y.astype(np.int32), pf.cb.astype(np.int32),
                     pf.cr.astype(np.int32),
                     prev.y.astype(np.int32), prev.cb.astype(np.int32),
-                    prev.cr.astype(np.int32))
-                W, H = cfg.pad_width, cfg.pad_height
-                coef_y = ldp_mod.tiles_to_plane(cy, W, H, 64)
-                coef_cb = ldp_mod.tiles_to_plane(ccb, W // 2, H // 2, 32)
-                coef_cr = ldp_mod.tiles_to_plane(ccr, W // 2, H // 2, 32)
-                rec = Frame(ldp_mod.tiles_to_plane(ry, W, H, 64),
-                            ldp_mod.tiles_to_plane(rcb, W // 2, H // 2, 32),
-                            ldp_mod.tiles_to_plane(rcr, W // 2, H // 2, 32))
-                mvq = np.asarray(mvq)
-                h8, w8 = H // 8, W // 8
-                mvq8 = np.zeros((h8, w8, 2), np.int32)
-                nx = cfg.ctus_x
-                for b in range(mvq.shape[0]):
-                    by, bx = divmod(b, nx)
-                    mvq8[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = mvq[b]
-                depth8 = np.zeros((h8, w8), np.int32)
+                    prev.cr.astype(np.int32), origins,
+                    hcpm_probs=hcpm)
+                coef_y = ldp_mod.tiles_to_plane(res.coef_y, W, H, 64)
+                coef_cb = ldp_mod.tiles_to_plane(res.coef_cb, W // 2,
+                                                 H // 2, 32)
+                coef_cr = ldp_mod.tiles_to_plane(res.coef_cr, W // 2,
+                                                 H // 2, 32)
+                rec = Frame(
+                    ldp_mod.tiles_to_plane(res.rec_y, W, H, 64),
+                    ldp_mod.tiles_to_plane(res.rec_cb, W // 2, H // 2, 32),
+                    ldp_mod.tiles_to_plane(res.rec_cr, W // 2, H // 2, 32))
+                depth8 = ldp_mod.tiles_to_plane(res.depth8, W // 8,
+                                                H // 8, 8)
+                mvx = ldp_mod.tiles_to_plane(res.mv8[..., 0], W // 8,
+                                             H // 8, 8)
+                mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8,
+                                             H // 8, 8)
+                mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
 
-                bw = headers.start_p_slice(cfg, cfg.qp, poc)
+                bw = headers.start_p_slice(cfg, frame_qp, poc)
                 try:
                     from .. import native
                     data = native.encode_slice_data_p(
                         depth8, mvq8, coef_y, coef_cb, coef_cr,
-                        W, H, cfg.qp)
+                        W, H, frame_qp)
                     from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
                     chunks.append(nal_unit(NAL_TRAIL_R,
                                            bw.get_bytes() + data))
                 except Exception:
-                    pse = PSliceEncoder(cfg, cfg.qp)
+                    pse = PSliceEncoder(cfg, frame_qp)
                     pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
                     chunks.append(headers.finish_p_slice_nal(bw))
             if with_hash_sei:
@@ -174,3 +235,44 @@ class LDPEncoder:
             recons.append(rec)
             prev = rec
         return b"".join(chunks), recons
+
+    def _encode_flat(self, pf, prev, poc, frame_qp):
+        from ..core.yuv import Frame
+        from ..entropy import headers
+        from ..entropy.slice_enc_p import PSliceEncoder
+        from . import ldp as ldp_mod
+
+        cfg = self.cfg
+        W, H = cfg.pad_width, cfg.pad_height
+        (cy, ccb, ccr, ry, rcb, rcr, mvq) = self._search_fn(
+            frame_qp, False)(
+            pf.y.astype(np.int32), pf.cb.astype(np.int32),
+            pf.cr.astype(np.int32),
+            prev.y.astype(np.int32), prev.cb.astype(np.int32),
+            prev.cr.astype(np.int32))
+        coef_y = ldp_mod.tiles_to_plane(cy, W, H, 64)
+        coef_cb = ldp_mod.tiles_to_plane(ccb, W // 2, H // 2, 32)
+        coef_cr = ldp_mod.tiles_to_plane(ccr, W // 2, H // 2, 32)
+        rec = Frame(ldp_mod.tiles_to_plane(ry, W, H, 64),
+                    ldp_mod.tiles_to_plane(rcb, W // 2, H // 2, 32),
+                    ldp_mod.tiles_to_plane(rcr, W // 2, H // 2, 32))
+        mvq = np.asarray(mvq)
+        h8, w8 = H // 8, W // 8
+        mvq8 = np.zeros((h8, w8, 2), np.int32)
+        nx = cfg.ctus_x
+        for b in range(mvq.shape[0]):
+            by, bx = divmod(b, nx)
+            mvq8[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = mvq[b]
+        depth8 = np.zeros((h8, w8), np.int32)
+
+        bw = headers.start_p_slice(cfg, frame_qp, poc)
+        try:
+            from .. import native
+            data = native.encode_slice_data_p(
+                depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, frame_qp)
+            from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
+            return rec, nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
+        except Exception:
+            pse = PSliceEncoder(cfg, frame_qp)
+            pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
+            return rec, headers.finish_p_slice_nal(bw)

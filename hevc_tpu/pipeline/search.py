@@ -146,6 +146,77 @@ def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
     return cost.reshape(B, nd, n_tu).sum(-1)
 
 
+def forced_split_mask(ctu_origins, depth: int, pad_w: int, pad_h: int):
+    """[B, n, n] bool: CUs crossing the padded-frame boundary must split
+    (TEncCu.cpp:424-428 semantics)."""
+    B = ctu_origins.shape[0]
+    size = 64 >> depth
+    offx, offy = _node_offsets(depth)
+    gx = ctu_origins[:, 0:1] + jnp.asarray(offx)[None]
+    gy = ctu_origins[:, 1:2] + jnp.asarray(offy)[None]
+    n = 1 << depth
+    inside = (gx + size <= pad_w) & (gy + size <= pad_h)
+    started = (gx < pad_w) & (gy < pad_h)
+    return (~inside & started).reshape(B, n, n)
+
+
+def decide_tree(costs, ctu_origins, *, pad_w, pad_h, split_bits,
+                hcpm_probs=None, thr_up=(1.1, 1.1, 1.1),
+                thr_down=(-0.1, -0.1, -0.1)):
+    """Bottom-up gated CU-tree reduction shared by the intra and inter
+    searches (TEncCu.cpp:419-463 three-way rule as masks).
+
+    costs: {depth: [B, 4^depth]} leaf RD costs.
+    Returns (split0 [B], split1 [B,2,2], split2 [B,4,4], depth8 [B,8,8]).
+    """
+    B = ctu_origins.shape[0]
+    cost3 = costs[3].reshape(B, 8, 8)
+    cost2 = costs[2].reshape(B, 4, 4)
+    cost1 = costs[1].reshape(B, 2, 2)
+    cost0 = costs[0].reshape(B, 1, 1)
+
+    if hcpm_probs is not None:
+        thr = hcpm_lib.Thresholds(up=tuple(thr_up), down=tuple(thr_down))
+        chk_cur, chk_split = hcpm_lib.split_gates(hcpm_probs, thr)
+        cur0, split_ok0 = chk_cur[:, 0], chk_split[:, 0]
+        cur1 = chk_cur[:, 1:5].reshape(B, 2, 2)
+        split_ok1 = chk_split[:, 1:5].reshape(B, 2, 2)
+        cur2 = chk_cur[:, 5:21].reshape(B, 4, 4)
+        split_ok2 = chk_split[:, 5:21].reshape(B, 4, 4)
+    else:
+        tr = lambda *s: jnp.ones(s, bool)
+        cur0, split_ok0 = tr(B), tr(B)
+        cur1 = split_ok1 = tr(B, 2, 2)
+        cur2 = split_ok2 = tr(B, 4, 4)
+
+    def pool4(c):
+        b, n, _ = c.shape
+        return c.reshape(b, n // 2, 2, n // 2, 2).sum((2, 4))
+
+    # level 2 (16 -> 8)
+    sub3 = pool4(cost3) + split_bits
+    f2 = forced_split_mask(ctu_origins, 2, pad_w, pad_h)
+    choose2 = f2 | (split_ok2 & (~cur2 | (sub3 < cost2)))
+    best2 = jnp.where(choose2, sub3, cost2)
+    # level 1 (32 -> 16)
+    sub2 = pool4(best2) + split_bits
+    f1 = forced_split_mask(ctu_origins, 1, pad_w, pad_h)
+    choose1 = f1 | (split_ok1 & (~cur1 | (sub2 < cost1)))
+    best1 = jnp.where(choose1, sub2, cost1)
+    # level 0 (64 -> 32)
+    sub1 = pool4(best1) + split_bits
+    f0 = forced_split_mask(ctu_origins, 0, pad_w, pad_h).reshape(B)
+    choose0 = f0 | (split_ok0 & (~cur0 | (sub1[:, 0, 0] < cost0[:, 0, 0])))
+
+    split0 = choose0
+    split1 = choose1 & split0[:, None, None]
+    split2 = choose2 & jnp.repeat(jnp.repeat(split1, 2, 1), 2, 2)
+
+    depth4 = hcpm_lib.depth_map_from_decisions(split0, split1, split2)
+    depth8 = jnp.repeat(jnp.repeat(depth4, 2, 1), 2, 2)  # [B, 8, 8]
+    return split0, split1, split2, depth8
+
+
 def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                  hcpm_probs: Optional[jax.Array] = None,
                  thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
@@ -185,62 +256,10 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
         ovh = lam_sqrt * 9.5
         costs = {d: satds[d] + ovh for d in range(4)}
         split_bits = lam_sqrt * 2.0
-    cost3 = costs[3].reshape(B, 8, 8)
-    cost2 = costs[2].reshape(B, 4, 4)
-    cost1 = costs[1].reshape(B, 2, 2)
-    cost0 = costs[0].reshape(B, 1, 1)
-
-    # forced splits: CU crossing the padded-frame boundary must split
-    def forced_split(depth):
-        size = 64 >> depth
-        offx, offy = _node_offsets(depth)
-        gx = ctu_origins[:, 0:1] + jnp.asarray(offx)[None]
-        gy = ctu_origins[:, 1:2] + jnp.asarray(offy)[None]
-        n = 1 << depth
-        inside = (gx + size <= pad_w) & (gy + size <= pad_h)
-        started = (gx < pad_w) & (gy < pad_h)
-        return (~inside & started).reshape(B, n, n)
-
-    if hcpm_probs is not None:
-        thr = hcpm_lib.Thresholds(up=tuple(thr_up), down=tuple(thr_down))
-        chk_cur, chk_split = hcpm_lib.split_gates(hcpm_probs, thr)
-        cur0, split_ok0 = chk_cur[:, 0], chk_split[:, 0]
-        cur1 = chk_cur[:, 1:5].reshape(B, 2, 2)
-        split_ok1 = chk_split[:, 1:5].reshape(B, 2, 2)
-        cur2 = chk_cur[:, 5:21].reshape(B, 4, 4)
-        split_ok2 = chk_split[:, 5:21].reshape(B, 4, 4)
-    else:
-        tr = lambda *s: jnp.ones(s, bool)
-        cur0, split_ok0 = tr(B), tr(B)
-        cur1 = split_ok1 = tr(B, 2, 2)
-        cur2 = split_ok2 = tr(B, 4, 4)
-
-
-    def pool4(c):
-        b, n, _ = c.shape
-        return c.reshape(b, n // 2, 2, n // 2, 2).sum((2, 4))
-
-    # level 2 (16 -> 8)
-    sub3 = pool4(cost3) + split_bits
-    f2 = forced_split(2)
-    choose2 = f2 | (split_ok2 & (~cur2 | (sub3 < cost2)))
-    best2 = jnp.where(choose2, sub3, cost2)
-    # level 1 (32 -> 16)
-    sub2 = pool4(best2) + split_bits
-    f1 = forced_split(1)
-    choose1 = f1 | (split_ok1 & (~cur1 | (sub2 < cost1)))
-    best1 = jnp.where(choose1, sub2, cost1)
-    # level 0 (64 -> 32)
-    sub1 = pool4(best1) + split_bits
-    f0 = forced_split(0).reshape(B)
-    choose0 = f0 | (split_ok0 & (~cur0 | (sub1[:, 0, 0] < cost0[:, 0, 0])))
-
-    split0 = choose0
-    split1 = choose1 & split0[:, None, None]
-    split2 = choose2 & jnp.repeat(jnp.repeat(split1, 2, 1), 2, 2)
-
-    depth4 = hcpm_lib.depth_map_from_decisions(split0, split1, split2)
-    depth8 = jnp.repeat(jnp.repeat(depth4, 2, 1), 2, 2)  # [B, 8, 8]
+    split0, split1, split2, depth8 = decide_tree(
+        costs, ctu_origins, pad_w=pad_w, pad_h=pad_h,
+        split_bits=split_bits, hcpm_probs=hcpm_probs, thr_up=thr_up,
+        thr_down=thr_down)
 
     # scatter modes: per 8x8 unit pick by its depth
     m0 = jnp.broadcast_to(modes[0].reshape(B, 1, 1), (B, 8, 8))

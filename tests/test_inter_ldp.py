@@ -132,3 +132,113 @@ def test_ldp_encoder_e2e_hm_decode(tmp_path):
     # P frames should be much cheaper than the IDR and decent quality
     p = psnr(dec[3].y, frames[3].y)
     assert p > 28.0, p
+
+
+def test_psearch_static_scene_all_skip():
+    """Static content: the quadtree search picks 64x64 CUs with zero MV
+    and zero residual; entropy codes every CTU as cu_skip."""
+    from hevc_tpu.pipeline import psearch, search as search_lib
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+    from hevc_tpu.entropy.bitstream import BitWriter
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32)
+    f = synth_frame(128, 64, seed=5)
+    origins = jnp.asarray(search_lib.ctu_grid(128, 64))
+    res = psearch.p_search_frame(
+        f.y.astype(np.int32), f.cb.astype(np.int32), f.cr.astype(np.int32),
+        f.y.astype(np.int32), f.cb.astype(np.int32), f.cr.astype(np.int32),
+        origins, qp=32, pad_w=128, pad_h=64)
+    assert np.all(np.asarray(res.depth8) == 0)
+    assert np.all(np.asarray(res.mv8) == 0)
+    assert np.all(np.asarray(res.coef_y) == 0)
+    from hevc_tpu.pipeline import ldp as ldp_mod
+    np.testing.assert_array_equal(
+        ldp_mod.tiles_to_plane(res.rec_y, 128, 64, 64), f.y)
+    bw = BitWriter()
+    pse = PSliceEncoder(cfg, 32)
+    pse.encode(bw,
+               ldp_mod.tiles_to_plane(res.depth8, 16, 8, 8),
+               np.stack([ldp_mod.tiles_to_plane(res.mv8[..., 0], 16, 8, 8),
+                         ldp_mod.tiles_to_plane(res.mv8[..., 1], 16, 8, 8)],
+                        -1).astype(np.int32),
+               ldp_mod.tiles_to_plane(res.coef_y, 128, 64, 64),
+               ldp_mod.tiles_to_plane(res.coef_cb, 64, 32, 32),
+               ldp_mod.tiles_to_plane(res.coef_cr, 64, 32, 32))
+    # 2 CTUs, all-skip: a handful of bytes
+    assert len(bw.get_bytes()) < 8
+    assert np.all(pse.skip8 == 1)
+
+
+def test_psearch_detail_region_splits():
+    """A frame with a high-detail moving quadrant should split CUs there."""
+    from hevc_tpu.pipeline import psearch, search as search_lib
+    from hevc_tpu.core.yuv import Frame
+
+    rng = np.random.RandomState(7)
+    ref_y = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    cur_y = np.roll(ref_y, (0, 3), axis=(0, 1))
+    # overwrite one 32x32 region with fresh noise (uncompensable detail)
+    cur_y[0:32, 0:32] = rng.randint(0, 256, (32, 32))
+    cb = np.full((32, 64), 128, np.uint8)
+    origins = jnp.asarray(search_lib.ctu_grid(128, 64))
+    res = psearch.p_search_frame(
+        cur_y.astype(np.int32), cb.astype(np.int32), cb.astype(np.int32),
+        ref_y.astype(np.int32), cb.astype(np.int32), cb.astype(np.int32),
+        origins, qp=37, pad_w=128, pad_h=64)
+    d8 = np.asarray(res.depth8)
+    # noise quadrant needs finer partitioning than the clean shifted part
+    assert d8[0].max() >= 1
+
+
+def test_psearch_hcpm_gate_forces_leaf():
+    """HCPM prob <= down at level 0 forces 64x64 leaves (no split)."""
+    from hevc_tpu.pipeline import psearch, search as search_lib
+
+    rng = np.random.RandomState(9)
+    ref_y = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    cur_y = rng.randint(0, 256, (64, 128)).astype(np.uint8)  # uncorrelated
+    cb = np.full((32, 64), 128, np.uint8)
+    origins = jnp.asarray(search_lib.ctu_grid(128, 64))
+    hcpm = jnp.zeros((2, 21), jnp.float32)   # all probs 0 -> never split
+    res = psearch.p_search_frame(
+        cur_y.astype(np.int32), cb.astype(np.int32), cb.astype(np.int32),
+        ref_y.astype(np.int32), cb.astype(np.int32), cb.astype(np.int32),
+        origins, qp=22, pad_w=128, pad_h=64, hcpm_probs=hcpm,
+        thr_up=(0.6, 0.7, 0.8), thr_down=(0.4, 0.3, 0.2))
+    assert np.all(np.asarray(res.depth8) == 0)
+    # and all-ones forces max splitting
+    res2 = psearch.p_search_frame(
+        cur_y.astype(np.int32), cb.astype(np.int32), cb.astype(np.int32),
+        ref_y.astype(np.int32), cb.astype(np.int32), cb.astype(np.int32),
+        origins, qp=22, pad_w=128, pad_h=64,
+        hcpm_probs=jnp.ones((2, 21), jnp.float32),
+        thr_up=(0.6, 0.7, 0.8), thr_down=(0.4, 0.3, 0.2))
+    assert np.all(np.asarray(res2.depth8) == 3)
+
+
+@pytest.mark.skipif(not __import__("hevc_tpu.evaltools.hm", fromlist=["hm"]).decoder_available(),
+                    reason="HM decoder missing")
+def test_ldp_encoder_lstm_gated_e2e(tmp_path):
+    """Full reference LDP chain: pre-encode residue -> ETH-CNN+LSTM HCPM
+    -> gated quadtree P search -> merge/skip CABAC; HM byte-exact."""
+    from hevc_tpu.pipeline.pframe import LDPEncoder
+    from hevc_tpu.models import eth_lstm
+    from hevc_tpu.evaltools import hm as hm_mod
+    from hevc_tpu.core.yuv import read_yuv420, Frame
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32)
+    base = synth_frame(128, 64, seed=31)
+    frames = [base]
+    for i in range(3):
+        y = np.roll(frames[-1].y, (1, 1), axis=(0, 1))
+        frames.append(Frame(y, frames[-1].cb, frames[-1].cr))
+
+    params = eth_lstm.init_params(jax.random.PRNGKey(3))
+    enc = LDPEncoder(cfg, lstm_params=params)
+    stream, recons = enc.encode(frames)
+    rc, log, rec_path = hm_mod.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
+    dec = read_yuv420(rec_path, cfg.width, cfg.height)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        np.testing.assert_array_equal(d.y, r.y, err_msg=f"luma frame {i}")

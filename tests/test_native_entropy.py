@@ -55,7 +55,7 @@ def test_native_p_slice_matches_python():
     base = synth_frame(128, 64, seed=30)
     y1 = np.roll(base.y, (1, 2), axis=(0, 1))
     frames = [base, Frame(y1, base.cb, base.cr)]
-    enc = LDPEncoder(cfg)
+    enc = LDPEncoder(cfg, tree="flat")
     # reproduce the decision arrays the encoder feeds the entropy stage
     from hevc_tpu.core.yuv import pad_frame
     from hevc_tpu.pipeline import ldp as ldp_mod
@@ -63,7 +63,7 @@ def test_native_p_slice_matches_python():
     d8, m8 = enc.intra.decide_frame(pf0.y)
     _, rec0 = enc.intra.reconstruct(pf0, d8, m8)
     pf1 = pad_frame(frames[1], cfg.pad_width, cfg.pad_height)
-    (cy, ccb, ccr, ry, rcb, rcr, mvq) = enc._p_jit(
+    (cy, ccb, ccr, ry, rcb, rcr, mvq) = enc._search_fn(cfg.qp, False)(
         pf1.y.astype(np.int32), pf1.cb.astype(np.int32),
         pf1.cr.astype(np.int32), rec0.y.astype(np.int32),
         rec0.cb.astype(np.int32), rec0.cr.astype(np.int32))
