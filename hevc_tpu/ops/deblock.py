@@ -118,34 +118,89 @@ def _filter_luma_windows(win, edge_on, beta, tc):
     return out
 
 
-def _deblock_luma_vertical(plane, vert_mask, qp):
-    """Filter all vertical luma edges. plane: [H, W] int32."""
+def _deblock_luma_vertical(plane, vert_mask, qp, bs=None):
+    """Filter all vertical luma edges. plane: [H, W] int32.
+
+    bs: optional [H8, W8] int32 boundary strength per 8x8 cell (inter
+    slices; 0 = no filtering, 1/2 pick the tc index Q = qp + 2*(bS-1),
+    8.7.2.5.3). bs=None means all-intra: bS = 2 on every masked edge.
+    """
     H, W = plane.shape
     beta = int(BETA_TABLE[min(max(qp, 0), 51)])
-    tc = int(TC_TABLE[min(max(qp + 2, 0), 53)])  # bS=2: Q = qp + 2
+    if bs is None:
+        edge_cell = jnp.asarray(vert_mask)
+        tc_cell = jnp.full_like(edge_cell, TC_TABLE[min(max(qp + 2, 0), 53)],
+                                dtype=jnp.int32)
+    else:
+        bs = jnp.asarray(bs, jnp.int32)
+        edge_cell = jnp.asarray(vert_mask) & (bs > 0)
+        qidx = jnp.clip(qp + 2 * (bs - 1), 0, 53)
+        tc_cell = jnp.asarray(TC_TABLE)[qidx]
     rolled = jnp.roll(plane, 4, axis=1)          # col 8k-4 -> block k col 0
     win = rolled.reshape(H, W // 8, 8)
     # group rows by 4: [H/4, 4, W/8, 8] -> [W/8 * H/4, 4, 8]
     g = win.reshape(H // 4, 4, W // 8, 8).transpose(2, 0, 1, 3)
     g = g.reshape(-1, 4, 8)
-    # edge flags per (x8, 4-row group): vert_mask is per 8x8 cell
-    vm = jnp.repeat(vert_mask.transpose(1, 0), 2, axis=1)  # [W8, H/4]
-    edge_on = vm.reshape(-1)
-    betas = jnp.full_like(edge_on, beta, jnp.int32)
-    tcs = jnp.full_like(edge_on, tc, jnp.int32)
+    # edge flags per (x8, 4-row group): masks are per 8x8 cell
+    edge_on = jnp.repeat(edge_cell.transpose(1, 0), 2, axis=1).reshape(-1)
+    tcs = jnp.repeat(tc_cell.transpose(1, 0), 2, axis=1).reshape(-1)
+    betas = jnp.full_like(tcs, beta, jnp.int32)
     out = _filter_luma_windows(g, edge_on, betas, tcs)
     out = out.reshape(W // 8, H // 4, 4, 8).transpose(1, 2, 0, 3)
     out = out.reshape(H, W)
     return jnp.roll(out, -4, axis=1)
 
 
-def deblock_luma(plane, depth8, qp: int):
+def deblock_luma(plane, depth8, qp: int, bs_vert=None, bs_horz=None):
     """Full luma deblock: vertical edges then horizontal edges."""
     plane = jnp.asarray(plane, jnp.int32)
     vert, horz = edge_masks(depth8)
-    out = _deblock_luma_vertical(plane, vert, qp)
-    out = _deblock_luma_vertical(out.T, horz.T, qp).T
+    out = _deblock_luma_vertical(plane, vert, qp, bs_vert)
+    out = _deblock_luma_vertical(
+        out.T, horz.T, qp, None if bs_horz is None else bs_horz.T).T
     return out
+
+
+def _nz_tu8(coef_y, tu8):
+    """[H8, W8] bool: the luma TB containing each 8x8 cell has nonzero
+    coefficient levels (bS condition, 8.7.2.4)."""
+    coef_y = jnp.asarray(coef_y)
+    H, W = coef_y.shape
+    nz8 = (coef_y.reshape(H // 8, 8, W // 8, 8) != 0).any((1, 3))
+
+    def pool_or(m, k):
+        h, w = m.shape
+        p = m.reshape(h // k, k, w // k, k).any((1, 3))
+        return jnp.repeat(jnp.repeat(p, k, 0), k, 1)
+
+    nz16 = pool_or(nz8, 2)
+    nz32 = pool_or(nz8, 4)
+    return jnp.where(tu8 == 8, nz8, jnp.where(tu8 == 16, nz16, nz32))
+
+
+def inter_bs_masks(depth8, mvq8, coef_y):
+    """Boundary strengths for a pure-inter (P) slice per 8x8 cell.
+
+    H.265 8.7.2.4 under single-ref uni-prediction: bS = 1 on a PU/TU
+    edge iff either side's luma TB has nonzero coefficients or the MV
+    difference reaches a full sample (|dx| >= 4 or |dy| >= 4 quarter-pel
+    units); intra (bS = 2) does not occur. Returns (bs_vert, bs_horz)
+    int32 [H8, W8] aligned with edge_masks.
+    """
+    depth8 = jnp.asarray(depth8)
+    mv = jnp.asarray(mvq8, jnp.int32)
+    tu8 = tu_size8(depth8)
+    nz = _nz_tu8(coef_y, tu8)
+    vert, horz = edge_masks(depth8)
+
+    mvd_v = (jnp.abs(mv - jnp.roll(mv, 1, axis=1)).max(-1)) >= 4
+    nz_v = nz | jnp.roll(nz, 1, axis=1)
+    bs_v = (vert & (mvd_v | nz_v)).astype(jnp.int32)
+
+    mvd_h = (jnp.abs(mv - jnp.roll(mv, 1, axis=0)).max(-1)) >= 4
+    nz_h = nz | jnp.roll(nz, 1, axis=0)
+    bs_h = (horz & (mvd_h | nz_h)).astype(jnp.int32)
+    return bs_v, bs_h
 
 
 def _filter_chroma_windows(win, edge_on, tc):
@@ -209,3 +264,14 @@ def deblock_frame(recon_y, recon_cb, recon_cr, depth8, qp: int):
     cb = deblock_chroma(recon_cb, depth8, cqp)
     cr = deblock_chroma(recon_cr, depth8, cqp)
     return y, cb, cr
+
+
+def deblock_frame_inter(recon_y, recon_cb, recon_cr, depth8, mvq8, coef_y,
+                        qp: int):
+    """Deblock a pure-inter P picture: luma edges at bS = 1 where the
+    normative conditions hold; chroma is filtered only at bS = 2 (intra),
+    which cannot occur, so chroma passes through (8.7.2.5.5)."""
+    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y)
+    y = deblock_luma(recon_y, depth8, qp, bs_v, bs_h)
+    return y, jnp.asarray(recon_cb, jnp.int32), \
+        jnp.asarray(recon_cr, jnp.int32)

@@ -115,8 +115,6 @@ class LDPEncoder:
                  use_gop_qp: bool = True):
         assert cfg.pad_width % 64 == 0 and cfg.pad_height % 64 == 0, \
             "LDP requires CTU-aligned dims"
-        assert not cfg.deblock, \
-            "LDP: deblocking needs inter bS derivation (round 2)"
         self.cfg = cfg
         self.tree = tree
         self.use_gop_qp = use_gop_qp
@@ -214,6 +212,14 @@ class LDPEncoder:
                 mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8,
                                              H // 8, 8)
                 mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
+                if cfg.deblock:
+                    from ..ops import deblock as dbk
+                    y, cb, cr = dbk.deblock_frame_inter(
+                        rec.y, rec.cb, rec.cr, depth8, mvq8, coef_y,
+                        frame_qp)
+                    rec = Frame(np.asarray(y).astype(np.uint8),
+                                np.asarray(cb).astype(np.uint8),
+                                np.asarray(cr).astype(np.uint8))
 
                 bw = headers.start_p_slice(cfg, frame_qp, poc)
                 try:
@@ -264,6 +270,13 @@ class LDPEncoder:
             by, bx = divmod(b, nx)
             mvq8[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = mvq[b]
         depth8 = np.zeros((h8, w8), np.int32)
+        if cfg.deblock:
+            from ..ops import deblock as dbk
+            y, cb, cr = dbk.deblock_frame_inter(
+                rec.y, rec.cb, rec.cr, depth8, mvq8, coef_y, frame_qp)
+            rec = Frame(np.asarray(y).astype(np.uint8),
+                        np.asarray(cb).astype(np.uint8),
+                        np.asarray(cr).astype(np.uint8))
 
         bw = headers.start_p_slice(cfg, frame_qp, poc)
         try:

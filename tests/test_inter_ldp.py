@@ -242,3 +242,33 @@ def test_ldp_encoder_lstm_gated_e2e(tmp_path):
     dec = read_yuv420(rec_path, cfg.width, cfg.height)
     for i, (d, r) in enumerate(zip(dec, recons)):
         np.testing.assert_array_equal(d.y, r.y, err_msg=f"luma frame {i}")
+
+
+@pytest.mark.skipif(not __import__("hevc_tpu.evaltools.hm", fromlist=["hm"]).decoder_available(),
+                    reason="HM decoder missing")
+def test_ldp_encoder_deblock_e2e(tmp_path):
+    """LDP with in-loop deblocking (inter bS=1 derivation): HM byte-exact."""
+    from hevc_tpu.pipeline.pframe import LDPEncoder
+    from hevc_tpu.evaltools import hm as hm_mod
+    from hevc_tpu.core.yuv import read_yuv420, Frame
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=37, deblock=True)
+    base = synth_frame(128, 64, seed=33)
+    frames = [base]
+    for i in range(3):
+        y = np.roll(frames[-1].y, (2, 3), axis=(0, 1))
+        rng = np.random.RandomState(50 + i)
+        y = np.clip(y.astype(np.int32) + rng.randint(-4, 5, y.shape), 0,
+                    255).astype(np.uint8)
+        frames.append(Frame(y, frames[-1].cb, frames[-1].cr))
+
+    enc = LDPEncoder(cfg)
+    stream, recons = enc.encode(frames)
+    rc, log, rec_path = hm_mod.decode_bytes(stream, str(tmp_path))
+    assert rc == 0, log
+    assert "mismatch" not in log.lower(), log
+    dec = read_yuv420(rec_path, cfg.width, cfg.height)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        np.testing.assert_array_equal(d.y, r.y, err_msg=f"luma frame {i}")
+        np.testing.assert_array_equal(d.cb, r.cb, err_msg=f"cb frame {i}")
+        np.testing.assert_array_equal(d.cr, r.cr, err_msg=f"cr frame {i}")
