@@ -21,6 +21,7 @@ class EncoderConfig:
     bit_depth: int = 8
     level_idc: int = 120          # level 4.0
     deblock: bool = False         # in-loop deblocking (ops/deblock.py)
+    sao: bool = False             # sample adaptive offset (ops/sao.py)
     rdoq: bool = True             # RD-optimized quantization (ops/rdoq.py)
     # LDP GOP-4 per-frame QP offsets by POC % 4 (1,2,3,0), matching the
     # reference encoder_lowdelay_P_main.cfg Frame1..4 QPoffset column.
@@ -124,7 +125,7 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     bw.ue(0)          # max_transform_hierarchy_depth_intra
     bw.u(0, 1)        # scaling_list_enabled_flag
     bw.u(0, 1)        # amp_enabled_flag
-    bw.u(0, 1)        # sample_adaptive_offset_enabled_flag
+    bw.u(1 if cfg.sao else 0, 1)  # sample_adaptive_offset_enabled_flag
     bw.u(0, 1)        # pcm_enabled_flag
     bw.ue(0)          # num_short_term_ref_pic_sets
     bw.u(0, 1)        # long_term_ref_pics_present_flag
@@ -183,8 +184,11 @@ def start_idr_slice(cfg: EncoderConfig, slice_qp: int) -> BitWriter:
     bw.u(0, 1)        # no_output_of_prior_pics_flag
     bw.ue(0)          # slice_pic_parameter_set_id
     bw.ue(2)          # slice_type = I
+    if cfg.sao:
+        bw.u(1, 1)    # slice_sao_luma_flag
+        bw.u(1, 1)    # slice_sao_chroma_flag
     bw.se(slice_qp - cfg.qp)  # slice_qp_delta (relative to init_qp)
-    if cfg.deblock:
+    if cfg.deblock or cfg.sao:
         # present when pps_loop_filter_across_slices_enabled_flag and
         # deblocking is not disabled for the slice (7.3.6.1)
         bw.u(1, 1)    # slice_loop_filter_across_slices_enabled_flag
@@ -224,10 +228,13 @@ def start_p_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
     bw.ue(0)          # num_positive_pics
     bw.ue(0)          # delta_poc_s0_minus1 (= previous picture)
     bw.u(1, 1)        # used_by_curr_pic_s0_flag
+    if cfg.sao:
+        bw.u(1, 1)    # slice_sao_luma_flag
+        bw.u(1, 1)    # slice_sao_chroma_flag
     bw.u(0, 1)        # num_ref_idx_active_override_flag
     bw.ue(0)          # five_minus_max_num_merge_cand (MaxNumMergeCand = 5)
     bw.se(slice_qp - cfg.qp)  # slice_qp_delta
-    if cfg.deblock:
+    if cfg.deblock or cfg.sao:
         bw.u(1, 1)    # slice_loop_filter_across_slices_enabled_flag
     bw.align_one_then_zero()
     return bw

@@ -48,8 +48,10 @@ class SliceEncoder:
         self.cfg = cfg
         self.qp = frame_qp
 
-    def encode(self, bw, depth8, modes8, coef_y, coef_cb, coef_cr):
-        """Encode all CTUs of the frame into BitWriter bw (slice data)."""
+    def encode(self, bw, depth8, modes8, coef_y, coef_cb, coef_cr,
+               sao=None):
+        """Encode all CTUs of the frame into BitWriter bw (slice data).
+        sao: optional ops/sao.SaoParams (coded per CTU, 7.3.8.3)."""
         self.depth8 = np.asarray(depth8)
         self.modes8 = np.asarray(modes8)
         self.coef_y = np.asarray(coef_y)
@@ -67,6 +69,9 @@ class SliceEncoder:
         n_ctu = n_ctu_x * n_ctu_y
         for ci in range(n_ctu):
             cy, cx = divmod(ci, n_ctu_x)
+            if sao is not None:
+                from . import sao_syntax
+                sao_syntax.code_sao_ctu(enc, ctx, sao, ci, cx, cy, n_ctu_x)
             self._coding_quadtree(cx * 64, cy * 64, 64, 0)
             last = ci == n_ctu - 1
             enc.encode_terminate(1 if last else 0)

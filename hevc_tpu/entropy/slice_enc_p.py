@@ -109,7 +109,8 @@ class PSliceEncoder:
         self.cfg = cfg
         self.qp = frame_qp
 
-    def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr):
+    def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
+               sao=None):
         self.depth8 = np.asarray(depth8)
         self.mvq8 = np.asarray(mvq8)
         self.coef_y = np.asarray(coef_y)
@@ -129,6 +130,9 @@ class PSliceEncoder:
         n_ctu = nx * ny
         for ci in range(n_ctu):
             cy, cx = divmod(ci, nx)
+            if sao is not None:
+                from . import sao_syntax
+                sao_syntax.code_sao_ctu(enc, ctx, sao, ci, cx, cy, nx)
             self._coding_quadtree(cx * 64, cy * 64, 64, 0)
             enc.encode_terminate(1 if ci == n_ctu - 1 else 0)
 

@@ -122,36 +122,43 @@ class AIEncoder:
                          coef_y=np.asarray(planes.coef_y),
                          coef_cb=np.asarray(planes.coef_cb),
                          coef_cr=np.asarray(planes.coef_cr))
+        y, cb, cr = planes.recon_y, planes.recon_cb, planes.recon_cr
         if cfg.deblock:
             from ..ops import deblock as dbk
-            y, cb, cr = dbk.deblock_frame(planes.recon_y, planes.recon_cb,
-                                          planes.recon_cr, depth8, cfg.qp)
-            rec = Frame(np.asarray(y).astype(np.uint8),
-                        np.asarray(cb).astype(np.uint8),
-                        np.asarray(cr).astype(np.uint8))
-        else:
-            rec = Frame(np.asarray(planes.recon_y).astype(np.uint8),
-                        np.asarray(planes.recon_cb).astype(np.uint8),
-                        np.asarray(planes.recon_cr).astype(np.uint8))
+            y, cb, cr = dbk.deblock_frame(y, cb, cr, depth8, cfg.qp)
+        if cfg.sao:
+            from ..ops import sao as sao_lib
+            params = sao_lib.estimate_frame(pf.y, pf.cb, pf.cr, y, cb, cr,
+                                            cfg.qp)
+            y, cb, cr = sao_lib.apply_frame(y, cb, cr, params)
+            decisions["sao"] = params
+        rec = Frame(np.asarray(y).astype(np.uint8),
+                    np.asarray(cb).astype(np.uint8),
+                    np.asarray(cr).astype(np.uint8))
         return decisions, rec
 
 
 def entropy_encode_slice(cfg, decisions) -> bytes:
     """Slice NAL: header (Python) + CABAC slice data (native C++ with
-    Python fallback, byte-identical - tests/test_native_entropy.py)."""
+    Python fallback, byte-identical - tests/test_native_entropy.py).
+    SAO-coded slices use the Python driver (C++ SAO port pending)."""
     bw = headers.start_idr_slice(cfg, cfg.qp)
-    try:
-        from .. import native
-        data = native.encode_slice_data(
-            decisions["depth8"], decisions["modes8"], decisions["coef_y"],
-            decisions["coef_cb"], decisions["coef_cr"],
-            cfg.pad_width, cfg.pad_height, cfg.qp)
-        rbsp = bw.get_bytes() + data
-        from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
-        return nal_unit(NAL_IDR_W_RADL, rbsp)
-    except Exception:
-        se = SliceEncoder(cfg, cfg.qp)
-        se.encode(bw, decisions["depth8"], decisions["modes8"],
-                  decisions["coef_y"], decisions["coef_cb"],
-                  decisions["coef_cr"])
-        return headers.finish_slice_nal(bw)
+    sao = decisions.get("sao")
+    if sao is None:
+        try:
+            from .. import native
+            data = native.encode_slice_data(
+                decisions["depth8"], decisions["modes8"],
+                decisions["coef_y"], decisions["coef_cb"],
+                decisions["coef_cr"], cfg.pad_width, cfg.pad_height,
+                cfg.qp)
+            rbsp = bw.get_bytes() + data
+            from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
+            return nal_unit(NAL_IDR_W_RADL, rbsp)
+        except Exception:
+            pass
+    se = SliceEncoder(cfg, cfg.qp)
+    se.encode(bw, decisions["depth8"], decisions["modes8"],
+              decisions["coef_y"], decisions["coef_cb"],
+              decisions["coef_cr"], sao=sao)
+    return headers.finish_slice_nal(bw)

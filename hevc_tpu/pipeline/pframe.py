@@ -212,28 +212,27 @@ class LDPEncoder:
                 mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8,
                                              H // 8, 8)
                 mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
-                if cfg.deblock:
-                    from ..ops import deblock as dbk
-                    y, cb, cr = dbk.deblock_frame_inter(
-                        rec.y, rec.cb, rec.cr, depth8, mvq8, coef_y,
-                        frame_qp)
-                    rec = Frame(np.asarray(y).astype(np.uint8),
-                                np.asarray(cb).astype(np.uint8),
-                                np.asarray(cr).astype(np.uint8))
+                sao_params = None
+                if cfg.deblock or cfg.sao:
+                    yy, cb_, cr_ = rec.y, rec.cb, rec.cr
+                    if cfg.deblock:
+                        from ..ops import deblock as dbk
+                        yy, cb_, cr_ = dbk.deblock_frame_inter(
+                            yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp)
+                    if cfg.sao:
+                        from ..ops import sao as sao_lib
+                        sao_params = sao_lib.estimate_frame(
+                            pf.y, pf.cb, pf.cr, yy, cb_, cr_, frame_qp)
+                        yy, cb_, cr_ = sao_lib.apply_frame(yy, cb_, cr_,
+                                                           sao_params)
+                    rec = Frame(np.asarray(yy).astype(np.uint8),
+                                np.asarray(cb_).astype(np.uint8),
+                                np.asarray(cr_).astype(np.uint8))
 
                 bw = headers.start_p_slice(cfg, frame_qp, poc)
-                try:
-                    from .. import native
-                    data = native.encode_slice_data_p(
-                        depth8, mvq8, coef_y, coef_cb, coef_cr,
-                        W, H, frame_qp)
-                    from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
-                    chunks.append(nal_unit(NAL_TRAIL_R,
-                                           bw.get_bytes() + data))
-                except Exception:
-                    pse = PSliceEncoder(cfg, frame_qp)
-                    pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
-                    chunks.append(headers.finish_p_slice_nal(bw))
+                chunks.append(self._p_slice_nal(
+                    bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
+                    sao_params))
             if with_hash_sei:
                 chunks.append(headers.write_hash_sei(
                     golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
@@ -241,6 +240,28 @@ class LDPEncoder:
             recons.append(rec)
             prev = rec
         return b"".join(chunks), recons
+
+    def _p_slice_nal(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
+                     frame_qp, sao_params=None):
+        """P slice data: native C++ CABAC when possible (no SAO yet),
+        Python PSliceEncoder otherwise — byte-identical paths."""
+        from ..entropy import headers
+        from ..entropy.slice_enc_p import PSliceEncoder
+        cfg = self.cfg
+        if sao_params is None:
+            try:
+                from .. import native
+                data = native.encode_slice_data_p(
+                    depth8, mvq8, coef_y, coef_cb, coef_cr,
+                    cfg.pad_width, cfg.pad_height, frame_qp)
+                from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
+                return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
+            except Exception:
+                pass
+        pse = PSliceEncoder(cfg, frame_qp)
+        pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
+                   sao=sao_params)
+        return headers.finish_p_slice_nal(bw)
 
     def _encode_flat(self, pf, prev, poc, frame_qp):
         from ..core.yuv import Frame
@@ -270,22 +291,23 @@ class LDPEncoder:
             by, bx = divmod(b, nx)
             mvq8[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = mvq[b]
         depth8 = np.zeros((h8, w8), np.int32)
-        if cfg.deblock:
-            from ..ops import deblock as dbk
-            y, cb, cr = dbk.deblock_frame_inter(
-                rec.y, rec.cb, rec.cr, depth8, mvq8, coef_y, frame_qp)
-            rec = Frame(np.asarray(y).astype(np.uint8),
-                        np.asarray(cb).astype(np.uint8),
-                        np.asarray(cr).astype(np.uint8))
+        sao_params = None
+        if cfg.deblock or cfg.sao:
+            yy, cb_, cr_ = rec.y, rec.cb, rec.cr
+            if cfg.deblock:
+                from ..ops import deblock as dbk
+                yy, cb_, cr_ = dbk.deblock_frame_inter(
+                    yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp)
+            if cfg.sao:
+                from ..ops import sao as sao_lib
+                sao_params = sao_lib.estimate_frame(
+                    pf.y, pf.cb, pf.cr, yy, cb_, cr_, frame_qp)
+                yy, cb_, cr_ = sao_lib.apply_frame(yy, cb_, cr_,
+                                                   sao_params)
+            rec = Frame(np.asarray(yy).astype(np.uint8),
+                        np.asarray(cb_).astype(np.uint8),
+                        np.asarray(cr_).astype(np.uint8))
 
         bw = headers.start_p_slice(cfg, frame_qp, poc)
-        try:
-            from .. import native
-            data = native.encode_slice_data_p(
-                depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, frame_qp)
-            from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
-            return rec, nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
-        except Exception:
-            pse = PSliceEncoder(cfg, frame_qp)
-            pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
-            return rec, headers.finish_p_slice_nal(bw)
+        return rec, self._p_slice_nal(bw, depth8, mvq8, coef_y, coef_cb,
+                                      coef_cr, frame_qp, sao_params)
