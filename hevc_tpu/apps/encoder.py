@@ -17,8 +17,15 @@ lines plus a summary — the reference encoder's log surface
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# Persistent XLA compilation cache (set before jax import): rate-control
+# runs touch several QPs, each a distinct compiled program.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hevc_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
@@ -73,19 +80,29 @@ def main(argv=None):
         from ..train.train_cnn import load_params
         return load_params(path)
 
+    rc = None
+    if run.rc_target_bps > 0:
+        from ..pipeline.ratectrl import RateController
+        rc = RateController(run.rc_target_bps, run.frame_rate,
+                            cfg.width, cfg.height,
+                            n_frames=run.frames_to_encode,
+                            init_qp=cfg.qp)
+
     t0 = time.perf_counter()
     if run.mode == "ai":
         from ..pipeline.ai import AIEncoder
         cnn = load_npz(args.cnn) if args.cnn else None
         enc = AIEncoder(cfg, cnn_params=cnn, thresholds=thresholds)
         stream, recons, _ = enc.encode(frames,
-                                       with_hash_sei=not args.no_hash)
+                                       with_hash_sei=not args.no_hash,
+                                       rate_control=rc)
     else:
         from ..pipeline.pframe import LDPEncoder
         lstm = load_npz(args.lstm) if args.lstm else None
         enc = LDPEncoder(cfg, lstm_params=lstm, thresholds=thresholds)
         stream, recons = enc.encode(frames,
-                                    with_hash_sei=not args.no_hash)
+                                    with_hash_sei=not args.no_hash,
+                                    rate_control=rc)
     wall = time.perf_counter() - t0
 
     with open(run.bitstream_file, "wb") as f:

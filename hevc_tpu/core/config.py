@@ -55,6 +55,7 @@ class RunSettings:
     intra_period: int = 1
     gop_size: int = 1
     mode: str = "ai"            # "ai" (IntraPeriod 1) or "ldp"
+    rc_target_bps: float = 0.0  # RateControl: 1 + TargetBitrate
     unknown: Dict[str, str] = field(default_factory=dict)
 
 
@@ -65,7 +66,8 @@ _KNOWN = {
     "MaxCUWidth", "MaxCUHeight", "MaxPartitionDepth",
     "QuadtreeTULog2MaxSize", "QuadtreeTULog2MinSize", "LoopFilterDisable",
     "SAO", "RDOQ", "Level", "Profile", "DecodingRefreshType",
-    "ConformanceWindowMode", "InternalBitDepth",
+    "ConformanceWindowMode", "InternalBitDepth", "RateControl",
+    "TargetBitrate",
 }
 
 
@@ -129,6 +131,8 @@ def load_encoder_config(paths: List[str],
         intra_period=intra_period,
         gop_size=gop_size,
         mode=mode,
+        rc_target_bps=(float(opts.get("TargetBitrate", 0))
+                       if geti("RateControl", 0) else 0.0),
         unknown={k: v for k, v in opts.items()
                  if k not in _KNOWN and not k.startswith("Frame")},
     )

@@ -33,34 +33,45 @@ class AIEncoder:
         self.thr = thresholds or hcpm.DEFAULT_AI
         self.recon_backend = recon_backend
         self.golden = golden.GoldenEncoder(cfg)
-        self._search_jit = jax.jit(
-            lambda y, orig, probs: search.search_frame(
-                y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=probs,
-                thr_up=self.thr.up, thr_down=self.thr.down))
-        self._search_jit_nogate = jax.jit(
-            lambda y, orig: search.search_frame(
-                y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=None))
+        self._search_cache = {}
         self._origins = jnp.asarray(
             search.ctu_grid(cfg.pad_width, cfg.pad_height))
 
-    def predict_hcpm(self, y_pad: np.ndarray):
+    def _search_fn(self, qp: int, gated: bool):
+        key = (qp, gated)
+        if key not in self._search_cache:
+            cfg = self.cfg
+            if gated:
+                fn = jax.jit(lambda y, orig, probs: search.search_frame(
+                    y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                    n_ctu_x=cfg.ctus_x, qp=qp, hcpm_probs=probs,
+                    thr_up=self.thr.up, thr_down=self.thr.down))
+            else:
+                fn = jax.jit(lambda y, orig: search.search_frame(
+                    y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                    n_ctu_x=cfg.ctus_x, qp=qp, hcpm_probs=None))
+            self._search_cache[key] = fn
+        return self._search_cache[key]
+
+    def predict_hcpm(self, y_pad: np.ndarray, qp=None):
         """ETH-CNN inference over the frame's CTUs -> [B, 21] probs."""
         from ..core.yuv import extract_ctus
         ctus = extract_ctus(y_pad)
-        qp = jnp.full((ctus.shape[0],), float(self.cfg.qp), jnp.float32)
-        return eth_cnn.apply_jit(self.cnn_params, jnp.asarray(ctus), qp,
+        qpv = jnp.full((ctus.shape[0],),
+                       float(self.cfg.qp if qp is None else qp),
+                       jnp.float32)
+        return eth_cnn.apply_jit(self.cnn_params, jnp.asarray(ctus), qpv,
                                  self.thr.l1_lower, self.thr.l2_lower)
 
-    def decide_frame(self, y_pad: np.ndarray):
+    def decide_frame(self, y_pad: np.ndarray, qp=None):
         """Run (CNN +) search; returns frame-level depth8/modes8 maps."""
         y = jnp.asarray(y_pad)
+        qp = self.cfg.qp if qp is None else qp
         if self.cnn_params is not None:
-            probs = self.predict_hcpm(y_pad)
-            res = self._search_jit(y, self._origins, probs)
+            probs = self.predict_hcpm(y_pad, qp)
+            res = self._search_fn(qp, True)(y, self._origins, probs)
         else:
-            res = self._search_jit_nogate(y, self._origins)
+            res = self._search_fn(qp, False)(y, self._origins)
         return self._assemble(res)
 
     def _assemble(self, res: search.SearchResult):
@@ -73,8 +84,11 @@ class AIEncoder:
         h8, w8 = cfg.pad_height // 8, cfg.pad_width // 8
         return d[:h8, :w8].astype(np.int32), m[:h8, :w8].astype(np.int32)
 
-    def encode(self, frames, with_hash_sei: bool = True):
-        """Encode a sequence; returns (annexb bytes, recons, stats)."""
+    def encode(self, frames, with_hash_sei: bool = True,
+               rate_control=None):
+        """Encode a sequence; returns (annexb bytes, recons, stats).
+        rate_control: optional pipeline/ratectrl.RateController — picks
+        a per-picture QP and is updated with actual bits."""
         cfg = self.cfg
         chunks = [headers.write_vps(cfg), headers.write_sps(cfg),
                   headers.write_pps(cfg)]
@@ -82,12 +96,15 @@ class AIEncoder:
         stats = {"decide_s": 0.0, "recon_s": 0.0, "entropy_s": 0.0}
         for frame in frames:
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
+            qp = rate_control.pre_frame() if rate_control else cfg.qp
             t0 = time.perf_counter()
-            depth8, modes8 = self.decide_frame(pf.y)
+            depth8, modes8 = self.decide_frame(pf.y, qp)
             t1 = time.perf_counter()
-            decisions, rec = self.reconstruct(pf, depth8, modes8)
+            decisions, rec = self.reconstruct(pf, depth8, modes8, qp)
             t2 = time.perf_counter()
-            chunks.append(self._entropy_encode(decisions))
+            chunks.append(self._entropy_encode(decisions, qp))
+            if rate_control:
+                rate_control.post_frame(8 * len(chunks[-1]))
             if with_hash_sei:
                 chunks.append(headers.write_hash_sei(
                     golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
@@ -99,24 +116,25 @@ class AIEncoder:
             recons.append(rec)
         return b"".join(chunks), recons, stats
 
-    def _entropy_encode(self, decisions) -> bytes:
-        return entropy_encode_slice(self.cfg, decisions)
+    def _entropy_encode(self, decisions, qp=None) -> bytes:
+        return entropy_encode_slice(self.cfg, decisions, qp=qp)
 
-    def reconstruct(self, pf, depth8, modes8):
+    def reconstruct(self, pf, depth8, modes8, qp=None):
         """Normative reconstruction + coefficients (TPU wavefront by
         default; 'golden' NumPy backend as oracle/fallback)."""
         cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
         if self.recon_backend == "golden":
             return self.golden.encode_frame(pf, depth8, modes8)
         if self.recon_backend == "tu":
             from . import recon_tu
             planes = recon_tu.reconstruct_tu(
                 pf.y, pf.cb, pf.cr, depth8, modes8,
-                qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
+                qp=qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
         else:
             planes = recon.encode_frame_planes_jit(
                 pf.y, pf.cb, pf.cr, depth8, modes8,
-                qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                qp=qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
                 rdoq=cfg.rdoq)
         decisions = dict(depth8=depth8, modes8=modes8,
                          coef_y=np.asarray(planes.coef_y),
@@ -125,11 +143,11 @@ class AIEncoder:
         y, cb, cr = planes.recon_y, planes.recon_cb, planes.recon_cr
         if cfg.deblock:
             from ..ops import deblock as dbk
-            y, cb, cr = dbk.deblock_frame(y, cb, cr, depth8, cfg.qp)
+            y, cb, cr = dbk.deblock_frame(y, cb, cr, depth8, qp)
         if cfg.sao:
             from ..ops import sao as sao_lib
             params = sao_lib.estimate_frame(pf.y, pf.cb, pf.cr, y, cb, cr,
-                                            cfg.qp)
+                                            qp)
             y, cb, cr = sao_lib.apply_frame(y, cb, cr, params)
             decisions["sao"] = params
         rec = Frame(np.asarray(y).astype(np.uint8),
@@ -138,11 +156,12 @@ class AIEncoder:
         return decisions, rec
 
 
-def entropy_encode_slice(cfg, decisions) -> bytes:
+def entropy_encode_slice(cfg, decisions, qp=None) -> bytes:
     """Slice NAL: header (Python) + CABAC slice data (native C++ with
     Python fallback, byte-identical - tests/test_native_entropy.py).
     SAO-coded slices use the Python driver (C++ SAO port pending)."""
-    bw = headers.start_idr_slice(cfg, cfg.qp)
+    qp = cfg.qp if qp is None else qp
+    bw = headers.start_idr_slice(cfg, qp)
     sao = decisions.get("sao")
     if sao is None:
         try:
@@ -151,13 +170,13 @@ def entropy_encode_slice(cfg, decisions) -> bytes:
                 decisions["depth8"], decisions["modes8"],
                 decisions["coef_y"], decisions["coef_cb"],
                 decisions["coef_cr"], cfg.pad_width, cfg.pad_height,
-                cfg.qp)
+                qp)
             rbsp = bw.get_bytes() + data
             from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
             return nal_unit(NAL_IDR_W_RADL, rbsp)
         except Exception:
             pass
-    se = SliceEncoder(cfg, cfg.qp)
+    se = SliceEncoder(cfg, qp)
     se.encode(bw, decisions["depth8"], decisions["modes8"],
               decisions["coef_y"], decisions["coef_cb"],
               decisions["coef_cr"], sao=sao)

@@ -156,7 +156,8 @@ class LDPEncoder:
             self._p_jit[key] = jax.jit(fn)
         return self._p_jit[key]
 
-    def encode(self, frames, with_hash_sei: bool = True):
+    def encode(self, frames, with_hash_sei: bool = True,
+               rate_control=None):
         from ..core.yuv import Frame, pad_frame
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
@@ -174,11 +175,15 @@ class LDPEncoder:
             self.predictor.reset()
         for poc, frame in enumerate(frames):
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
-            frame_qp = self._frame_qp(poc)
+            frame_qp = (rate_control.pre_frame() if rate_control
+                        else self._frame_qp(poc))
+            n_chunks0 = len(chunks)
             if poc == 0:
-                d8, m8 = self.intra.decide_frame(pf.y)
-                decisions, rec = self.intra.reconstruct(pf, d8, m8)
-                chunks.append(self.intra._entropy_encode(decisions))
+                d8, m8 = self.intra.decide_frame(pf.y, frame_qp)
+                decisions, rec = self.intra.reconstruct(pf, d8, m8,
+                                                        frame_qp)
+                chunks.append(self.intra._entropy_encode(decisions,
+                                                         frame_qp))
             elif self.tree == "flat":
                 rec, chunk = self._encode_flat(pf, prev, poc, frame_qp)
                 chunks.append(chunk)
@@ -233,6 +238,9 @@ class LDPEncoder:
                 chunks.append(self._p_slice_nal(
                     bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
                     sao_params))
+            if rate_control:
+                rate_control.post_frame(
+                    8 * sum(len(c) for c in chunks[n_chunks0:]))
             if with_hash_sei:
                 chunks.append(headers.write_hash_sei(
                     golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
