@@ -14,15 +14,16 @@ import json
 import os
 import time
 
-# Persistent XLA compilation cache: repeat bench runs skip the (large)
-# search/recon graph compiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hevc_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: repeat bench runs skip the (large)
+# search/recon graph compiles. jax>=0.9 requires the config API (the
+# JAX_COMPILATION_* env vars are ignored).
+jax.config.update("jax_compilation_cache_dir", "/tmp/hevc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def bench_predictor():

@@ -20,3 +20,12 @@ evaltools : PSNR/BD-rate harness, HM interop oracles
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path="/tmp/hevc_tpu_jax_cache"):
+    """Persistent XLA compilation cache (jax>=0.9: config API only; the
+    JAX_COMPILATION_* env vars are silently ignored)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -21,11 +21,11 @@ import os
 import sys
 import time
 
-# Persistent XLA compilation cache (set before jax import): rate-control
-# runs touch several QPs, each a distinct compiled program.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hevc_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# Persistent XLA compilation cache: rate-control runs touch several QPs,
+# each a distinct compiled program.
+import hevc_tpu
+
+hevc_tpu.enable_compilation_cache()
 
 import numpy as np
 

@@ -56,12 +56,17 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
              component, g_origin, pad_w, pad_h, n_ctu_x, scale,
              rdoq=True):
     """Code one TB inside the extended tile [2S+1, 2S+1] (interior at
-    [1:S+1, 1:S+1], context in row 0 / col 0). Returns (ext, coef)."""
-    left_col = jax.lax.dynamic_slice(ext, (y0 + 1, x0), (2 * n, 1))[:, 0]
-    top_row = jax.lax.dynamic_slice(ext, (y0, x0), (1, 2 * n + 1))[0]
+    [1:S+1, 1:S+1], context in row 0 / col 0). Returns (ext, coef).
+
+    x0/y0 are STATIC ints (the node table is unrolled at trace time), so
+    every slice below lowers to a static slice/update — no dynamic
+    addressing on the hot path."""
+    # y0 + 2n <= S + n <= 2S and x0 + 2n + 1 <= 2S + 1: always in bounds
+    left_col = ext[y0 + 1:y0 + 1 + 2 * n, x0]
+    top_row = ext[y0, x0:x0 + 2 * n + 1]
     r = jnp.concatenate([left_col[::-1], top_row])  # [4n+1] linear layout
 
-    origin = (g_origin + jnp.stack([x0, y0]))[None]
+    origin = (g_origin + jnp.stack([jnp.int32(x0), jnp.int32(y0)]))[None]
     avail = refs.availability(origin, n, pad_w, pad_h, n_ctu_x, scale)[0]
     r = intra.substitute_refs(r[None], avail[None])[0]
 
@@ -71,7 +76,7 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
         r_use = r
 
     pred = intra.predict_one_mode(r_use, mode, n, component=component)
-    orig = jax.lax.dynamic_slice(orig_tile, (y0, x0), (n, n))
+    orig = orig_tile[y0:y0 + n, x0:x0 + n]
     resi = orig.astype(jnp.int32) - pred
     cf = transforms.forward_transform(resi)
     if rdoq:
@@ -83,10 +88,10 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
     rresi = transforms.inverse_transform(quant.dequantize(lvl, qp))
     rec = jnp.clip(pred + rresi, 0, 255)
 
-    old_coef = jax.lax.dynamic_slice(coef, (y0, x0), (n, n))
+    old_coef = coef[y0:y0 + n, x0:x0 + n]
     coef = jax.lax.dynamic_update_slice(
         coef, jnp.where(leaf, lvl, old_coef), (y0, x0))
-    old_rec = jax.lax.dynamic_slice(ext, (y0 + 1, x0 + 1), (n, n))
+    old_rec = ext[y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n]
     ext = jax.lax.dynamic_update_slice(
         ext, jnp.where(leaf, rec, old_rec), (y0 + 1, x0 + 1))
     return ext, coef
@@ -142,16 +147,16 @@ def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
                                        cqp, **ckw)
         return (ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr)
 
-    def body(carry, node):
-        d, x0, y0 = node[0], node[1], node[2]
+    # The node table is static: unroll the 85-node DFS at trace time so
+    # every tile slice/update is static and XLA fuses the whole CTU
+    # program (a lax.scan + lax.switch here costs a full carry copy and a
+    # dynamic dispatch per node — measured ~20x slower at 1080p).
+    carry = carry0
+    for (d, x0, y0) in node_table():
+        d, x0, y0 = int(d), int(x0), int(y0)
         leaf = depth8_t[y0 >> 3, x0 >> 3] == d
         mode = modes8_t[y0 >> 3, x0 >> 3]
-        carry = jax.lax.switch(
-            d, [functools.partial(branch_fn, 64 >> k) for k in range(4)],
-            carry, x0, y0, leaf, mode)
-        return carry, None
-
-    carry, _ = jax.lax.scan(body, carry0, jnp.asarray(node_table()))
+        carry = branch_fn(64 >> d, carry, x0, y0, leaf, mode)
     ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr = carry
     return (ext_y[1:65, 1:65], ext_cb[1:33, 1:33], ext_cr[1:33, 1:33],
             coef_y, coef_cb, coef_cr)

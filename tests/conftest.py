@@ -8,14 +8,13 @@ parity/E2E suite has also been run against the real TPU chip, confirming
 int32 exactness on hardware.)
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hevc_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
-import jax  # noqa: E402
-
+# persistent compilation cache (jax>=0.9 ignores the JAX_COMPILATION_*
+# env vars; the config API is the supported path)
+jax.config.update("jax_compilation_cache_dir", "/tmp/hevc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
