@@ -125,9 +125,9 @@ class LDPEncoder:
         if lstm_params is not None:
             self.predictor = ldp_mod.LDPPredictor(cfg, lstm_params,
                                                   thresholds)
-            self._pre_jit = jax.jit(functools.partial(
-                ldp_mod.pre_encode, pad_w=cfg.pad_width,
-                pad_h=cfg.pad_height))
+        self._pre_jit = jax.jit(functools.partial(
+            ldp_mod.pre_encode, pad_w=cfg.pad_width,
+            pad_h=cfg.pad_height))
         self._p_jit = {}        # frame_qp -> jitted search
         self._psearch = psearch_mod.p_search_frame
 
@@ -157,7 +157,13 @@ class LDPEncoder:
         return self._p_jit[key]
 
     def encode(self, frames, with_hash_sei: bool = True,
-               rate_control=None):
+               rate_control=None, collect=None):
+        """collect: optional list; when given, per-P-frame training data
+        is appended as {"poc", "depth4" [B,4,4], "resi" [B,64,64]} — the
+        ground-truth labels (reference Extract_Data TEncSlice.cpp:880-888)
+        and pre-encode residues (Resi_Pre TEncSearch.cpp:4500-4570) in one
+        pass, with residues against the previous *reconstruction* exactly
+        as the gated eval path sees them."""
         from ..core.yuv import Frame, pad_frame
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
@@ -179,7 +185,8 @@ class LDPEncoder:
                         else self._frame_qp(poc))
             n_chunks0 = len(chunks)
             if poc == 0:
-                d8, m8 = self.intra.decide_frame(pf.y, frame_qp)
+                d8, m8 = self.intra.decide_frame(pf.y, frame_qp, pf.cb,
+                                                 pf.cr)
                 decisions, rec = self.intra.reconstruct(pf, d8, m8,
                                                         frame_qp)
                 chunks.append(self.intra._entropy_encode(decisions,
@@ -189,11 +196,13 @@ class LDPEncoder:
                 chunks.append(chunk)
             else:
                 hcpm = None
-                if self.predictor is not None:
+                ry = None
+                if self.predictor is not None or collect is not None:
                     ry, _, _, _ = self._pre_jit(
                         pf.y.astype(np.int32), prev.y.astype(np.int32),
                         pf.cb.astype(np.int32), prev.cb.astype(np.int32),
                         pf.cr.astype(np.int32), prev.cr.astype(np.int32))
+                if self.predictor is not None:
                     hcpm = self.predictor.step(ry, poc)
                 res = self._search_fn(frame_qp, hcpm is not None)(
                     pf.y.astype(np.int32), pf.cb.astype(np.int32),
@@ -212,6 +221,15 @@ class LDPEncoder:
                     ldp_mod.tiles_to_plane(res.rec_cr, W // 2, H // 2, 32))
                 depth8 = ldp_mod.tiles_to_plane(res.depth8, W // 8,
                                                 H // 8, 8)
+                if collect is not None:
+                    # depth per 16x16 unit: within one unit all 8x8 depths
+                    # agree (8x8 CUs only exist at depth 3), so ::2 strides
+                    collect.append({
+                        "poc": poc,
+                        "depth4": np.asarray(res.depth8)[:, ::2, ::2]
+                        .astype(np.uint8),
+                        "resi": np.asarray(ry).astype(np.uint8),
+                    })
                 mvx = ldp_mod.tiles_to_plane(res.mv8[..., 0], W // 8,
                                              H // 8, 8)
                 mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8,

@@ -80,6 +80,73 @@ def read_reference_ldp_samples(path):
     return out
 
 
+# HM encoder_randomaccess_main.cfg GOP-8 hierarchy: the POC (display
+# offset from the GOP anchor) of each encode-order GOP slot. Slot 0 codes
+# the GOP-closing picture first, then the binary-subdivision B pictures.
+RA_GOP8_POC = (8, 4, 2, 1, 3, 6, 5, 7)
+
+
+def encode_to_display_order(config: str, i_enc: int, n_frames: int) -> int:
+    """Display index of the i-th *encoded* frame.
+
+    LDP/LDB code in display order (identity). RA codes an IDR first, then
+    GOP-8 hierarchical B pictures whose display offsets follow RA_GOP8_POC;
+    a tail GOP shorter than 8 keeps the same relative order restricted to
+    the frames that exist (reference behavior:
+    extract_data_LDP_LDB_RA.py:68-82).
+    """
+    if config != "RA":
+        return i_enc
+    if i_enc == 0:
+        return 0
+    i_gop, slot = divmod(i_enc - 1, 8)
+    gop_len = min(n_frames - 1 - i_gop * 8, 8)
+    offsets = [p - 1 for p in RA_GOP8_POC if p - 1 < gop_len]
+    return 1 + i_gop * 8 + offsets[slot]
+
+
+def display_to_encode_order(config: str, n_frames: int) -> np.ndarray:
+    """[n_frames] int32: encode index of each display-order frame."""
+    out = np.empty(n_frames, np.int32)
+    for i_enc in range(n_frames):
+        out[encode_to_display_order(config, i_enc, n_frames)] = i_enc
+    return out
+
+
+def build_samples_encode_order(config: str, resi_by_qp: dict,
+                               depth4_by_qp: dict, line, col, seq=0):
+    """Assemble per-frame CTU samples in ENCODE order for LDP/LDB/RA.
+
+    resi_by_qp / depth4_by_qp: {qp: [n_frames, N, 64, 64] / [n_frames, N,
+    4, 4]} indexed by DISPLAY order (how residues/labels are naturally
+    produced). Frame 0 (the IDR) carries no inter residue and is skipped,
+    matching the reference (extract_data_LDP_LDB_RA.py:192).
+
+    Returns (resi [M,64,64] u8 stacked per (encode frame, CTU),
+    depth4 [M,4,4] u8 per qp dicts, frame_idx [M] display indices) ready
+    for write_reference_ldp_samples / build_ldp_chains.
+    """
+    qps = sorted(resi_by_qp)
+    n_frames = next(iter(resi_by_qp.values())).shape[0]
+    rs = {qp: [] for qp in qps}
+    ds = {qp: [] for qp in qps}
+    fidx = []
+    for i_enc in range(n_frames):
+        i_disp = encode_to_display_order(config, i_enc, n_frames)
+        if i_disp == 0:
+            continue
+        for qp in qps:
+            rs[qp].append(resi_by_qp[qp][i_disp])
+            ds[qp].append(depth4_by_qp[qp][i_disp])
+        n_ctu = resi_by_qp[qps[0]][i_disp].shape[0]
+        fidx.append(np.full(n_ctu, i_disp, np.int64))
+    cat = lambda d: {qp: np.concatenate(v, 0) for qp, v in d.items()}
+    return (cat(rs), cat(ds),
+            np.concatenate(fidx) if fidx else np.zeros(0, np.int64),
+            np.tile(np.asarray(line), n_frames - 1) if fidx else line,
+            np.tile(np.asarray(col), n_frames - 1) if fidx else col)
+
+
 def build_ldp_chains(resi, depth4, frame_idx, line, col, seq,
                      chain_len: int = 20, stride: int = 10):
     """Build temporal chains for BPTT from per-CTU frame samples.

@@ -37,9 +37,31 @@ def extract_labels_own(frames, qp: int, width: int, height: int):
     out = []
     for f in frames:
         pf = pad_frame(f, cfg.pad_width, cfg.pad_height)
-        d8, _ = enc.decide_frame(pf.y)
+        d8, _ = enc.decide_frame(pf.y, qp, pf.cb, pf.cr)
         out.append(d8[::2, ::2].astype(np.uint8))
     return np.stack(out)
+
+
+def extract_labels_ldp(frames, qp: int, width: int, height: int):
+    """LDP training data from one full ungated inter encode at `qp`.
+
+    Returns (depth4 [P, B, 4, 4] u8, resi [P, B, 64, 64] u8, pocs [P])
+    for the P frames (POC>0; reference skips POC 0,
+    extract_data_LDP_LDB_RA.py:192). Labels = full-RDO CU depths
+    (Extract_Data role); residues = forced-64x64 pre-encode against the
+    previous reconstruction (Resi_Pre role) — one pass for both.
+    """
+    from ..entropy import headers
+    from ..pipeline.pframe import LDPEncoder
+
+    cfg = headers.EncoderConfig(width=width, height=height, qp=qp)
+    enc = LDPEncoder(cfg, tree="full")
+    collect = []
+    enc.encode(frames, with_hash_sei=False, collect=collect)
+    depth4 = np.stack([c["depth4"] for c in collect])
+    resi = np.stack([c["resi"] for c in collect])
+    pocs = np.array([c["poc"] for c in collect], np.int32)
+    return depth4, resi, pocs
 
 
 def hm_intra_cfg(width, height, qp, n_frames):

@@ -133,3 +133,92 @@ def test_bd_rate_math():
     r2 = [x * 1.1 for x in r]
     v = bdrate.bd_rate(r, p, r2, p)
     assert 9.0 < v < 11.0, v
+
+
+def test_ra_encode_display_order():
+    from hevc_tpu.train import dataset_ldp as dl
+    # full GOPs: 17 frames = IDR + 2 GOP-8s
+    n = 17
+    disp = [dl.encode_to_display_order("RA", i, n) for i in range(n)]
+    assert disp[0] == 0
+    assert disp[1:9] == [8, 4, 2, 1, 3, 6, 5, 7]
+    assert disp[9:] == [16, 12, 10, 9, 11, 14, 13, 15]
+    assert sorted(disp) == list(range(n))
+    # tail GOP shorter than 8 keeps relative order of surviving frames
+    n = 12
+    disp = [dl.encode_to_display_order("RA", i, n) for i in range(n)]
+    assert sorted(disp) == list(range(n))
+    assert disp[9:] == [1 + 8 + x for x in (1, 0, 2)]  # POCs 4,2,... < 3
+    # LDP/LDB are identity
+    assert all(dl.encode_to_display_order("LDP", i, 9) == i
+               for i in range(9))
+    inv = dl.display_to_encode_order("RA", 17)
+    for i in range(17):
+        assert dl.encode_to_display_order("RA", int(inv[i]), 17) == i
+
+
+def test_build_samples_encode_order_ra():
+    from hevc_tpu.train import dataset_ldp as dl
+    rng = np.random.RandomState(3)
+    n_frames, n_ctu = 10, 4
+    resi = {qp: rng.randint(0, 256, (n_frames, n_ctu, 64, 64), np.uint8)
+            for qp in (22, 27, 32, 37)}
+    dep = {qp: rng.randint(0, 4, (n_frames, n_ctu, 4, 4), np.uint8)
+           for qp in (22, 27, 32, 37)}
+    line = np.arange(n_ctu, dtype=np.int32)
+    col = np.arange(n_ctu, dtype=np.int32)[::-1].copy()
+    rs, ds, fidx, ln, cl = dl.build_samples_encode_order(
+        "RA", resi, dep, line, col)
+    assert rs[22].shape == ((n_frames - 1) * n_ctu, 64, 64)
+    assert fidx.shape == ((n_frames - 1) * n_ctu,)
+    assert 0 not in fidx  # IDR skipped
+    # first encoded inter frame of RA GOP is display index 8 (GOP tail=9
+    # frames -> full table applies)
+    assert fidx[0] == dl.encode_to_display_order("RA", 1, n_frames)
+    i_disp = int(fidx[0])
+    assert np.array_equal(rs[27][:n_ctu], resi[27][i_disp])
+    assert np.array_equal(ds[37][:n_ctu], dep[37][i_disp])
+
+
+def test_resi_cnn_pretraining_learns():
+    """Residue-CNN stage-1 trainer: loss decreases, accuracy beats chance
+    on a learnable rule (flat residue -> no split, busy -> full split)."""
+    from hevc_tpu.train import train_resi_cnn
+    rng = np.random.RandomState(2)
+    n = 256
+    qps = (22, 27, 32, 37)
+    resi = {qp: np.full((n, 64, 64), 128, np.uint8) for qp in qps}
+    dep = {qp: np.zeros((n, 4, 4), np.uint8) for qp in qps}
+    for qp in qps:
+        busy = rng.randint(0, 256, (n // 2, 64, 64)).astype(np.uint8)
+        resi[qp][1::2] = busy
+        dep[qp][1::2] = 3
+    fig = (np.arange(n) % 4).astype(np.int32)
+
+    cfg = train_resi_cnn.ResiCNNTrainConfig(
+        iters=60, eval_every=30, batch_size=32, eval_batch=128,
+        log=False, lr=0.003)
+    params, history = train_resi_cnn.train(resi, dep, fig, cfg)
+    assert len(history) >= 2
+    assert history[-1]["train_loss"] < history[0]["train_loss"] * 1.05
+    assert history[-1]["acc_64"] > 0.75, history
+    # warm-started params drop into the LSTM step unchanged
+    import jax.numpy as jnp
+    from hevc_tpu.models import eth_lstm
+    probs, state = eth_lstm.step_jit(
+        params, jnp.asarray(resi[32][:4]), jnp.full((4,), 32.0),
+        jnp.zeros((4,), jnp.int32), eth_lstm.zero_state(4))
+    assert probs.shape == (4, 21)
+
+
+def test_ldp_label_residue_extraction():
+    """One ungated LDP encode yields per-P-frame labels + residues."""
+    from tests.test_e2e_bitstream import synth_frame
+    frames = [synth_frame(128, 128, seed=0) for _ in range(3)]
+    depth4, resi, pocs = labels.extract_labels_ldp(frames, 32, 128, 128)
+    assert depth4.shape == (2, 4, 4, 4)   # 2 P frames, 4 CTUs
+    assert resi.shape == (2, 4, 64, 64)
+    np.testing.assert_array_equal(pocs, [1, 2])
+    assert depth4.max() <= 3
+    # residue is 128-centered; a mostly-static synthetic pair stays close
+    assert abs(float(resi.astype(np.int32).mean()) - 128.0) < 12.0

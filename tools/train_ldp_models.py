@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Train the LDP models end-to-end on synthetic temporal content.
+
+Pipeline (mirrors the reference 4-stage LDP chain, SURVEY.md 3.4, with
+our encoder as the source): synthesize a moving sequence -> per QP, one
+full ungated inter encode yields CU-depth labels AND pre-encode residues
+(train/labels.extract_labels_ldp) -> stage 1: all-QP residue-CNN
+pretraining (train/train_resi_cnn) -> stage 2: per-QP-band ETH-LSTM
+training over 20-step temporal chains (train/train_lstm).
+
+Usage: python tools/train_ldp_models.py [--frames N] [--iters N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_sequence(rng, width, height, n_frames):
+    """Temporal content: a static background with translating blobs and
+    texture patches, so residues carry learnable partition signal."""
+    from tools.train_ai_models import synth_content_frame
+    from hevc_tpu.core.yuv import Frame
+    base = synth_content_frame(rng, width + 64, height + 64).y.astype(
+        np.float32)
+    vx, vy = rng.randint(1, 4), rng.randint(0, 3)
+    frames = []
+    for i in range(n_frames):
+        ox, oy = (vx * i) % 64, (vy * i) % 64
+        y = base[oy:oy + height, ox:ox + width].copy()
+        # a couple of independently moving busy patches
+        for k in range(2):
+            px = (40 * k + 9 * i) % max(1, width - 48)
+            py = (70 * k + 5 * i) % max(1, height - 48)
+            y[py:py + 48, px:px + 48] += rng.randn(48, 48) * 25
+        yl = np.clip(y, 0, 255).astype(np.uint8)
+        cb = np.full((height // 2, width // 2), 128, np.uint8)
+        cr = np.full((height // 2, width // 2), 128, np.uint8)
+        frames.append(Frame(yl, cb, cr))
+    return frames
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--cnn-iters", type=int, default=3000)
+    ap.add_argument("--lstm-iters", type=int, default=1500)
+    ap.add_argument("--qps", type=int, nargs="+", default=[22, 27, 32, 37])
+    ap.add_argument("--out", default="models")
+    args = ap.parse_args()
+
+    from hevc_tpu.train import (dataset_ldp, labels, train_cnn,
+                                train_lstm, train_resi_cnn)
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.RandomState(0)
+    frames = synth_sequence(rng, args.width, args.height, args.frames)
+
+    resi_by_qp, depth_by_qp, pocs = {}, {}, None
+    for qp in args.qps:
+        t0 = time.time()
+        depth4, resi, pocs = labels.extract_labels_ldp(
+            frames, qp, args.width, args.height)
+        # flatten (P frames, CTUs) -> samples
+        P, B = depth4.shape[:2]
+        resi_by_qp[qp] = resi.reshape(P * B, 64, 64)
+        depth_by_qp[qp] = depth4.reshape(P * B, 4, 4)
+        frac = [float((depth4 == d).mean()) for d in range(4)]
+        print(f"qp {qp}: {P * B} samples in {time.time() - t0:.1f}s; "
+              f"depth dist {[round(f, 2) for f in frac]}")
+    P, B = len(pocs), resi_by_qp[args.qps[0]].shape[0] // len(pocs)
+    fig = np.repeat(pocs % 4, B).astype(np.int32)
+
+    # stage 1: all-QP residue CNN (reference train_resi_CNN_CTU64.py)
+    print("=== stage 1: residue-CNN pretraining (all-QP) ===")
+    cfg1 = train_resi_cnn.ResiCNNTrainConfig(
+        iters=args.cnn_iters, eval_every=max(200, args.cnn_iters // 10))
+    cnn_params, hist1 = train_resi_cnn.train(resi_by_qp, depth_by_qp, fig,
+                                             cfg1)
+    print(f"stage 1 final acc {hist1[-1]['acc_64']:.3f}/"
+          f"{hist1[-1]['acc_32']:.3f}/{hist1[-1]['acc_16']:.3f}")
+
+    # stage 2: per-QP-band LSTMs over temporal chains
+    # (reference train_LSTM_CTU64.py; chains follow each CTU position)
+    nx = -(-args.width // 64)
+    line = np.tile(np.repeat(np.arange(-(-args.height // 64)), nx), P)
+    col = np.tile(np.tile(np.arange(nx), -(-args.height // 64)), P)
+    for qp in args.qps:
+        fidx = np.repeat(pocs, B)
+        cr, cd, cf = dataset_ldp.build_ldp_chains(
+            resi_by_qp[qp], depth_by_qp[qp], fidx, line, col,
+            np.zeros(P * B, np.int32))
+        if cr.shape[0] == 0:
+            print(f"qp {qp}: not enough consecutive frames for chains")
+            continue
+        qseq = np.full(cr.shape[0], qp, np.float32)
+        print(f"=== stage 2: LSTM band {train_cnn.band_for_qp(qp)} "
+              f"({cr.shape[0]} chains) ===")
+        cfg2 = train_lstm.LSTMTrainConfig(
+            iters=args.lstm_iters,
+            eval_every=max(100, args.lstm_iters // 10))
+        params, hist2 = train_lstm.train(cr, qseq, cf, cd, cfg2,
+                                         params=cnn_params)
+        out_path = os.path.join(
+            args.out, f"eth_lstm_{train_cnn.band_for_qp(qp)}.npz")
+        train_cnn.save_params(out_path, params)
+        print(f"saved {out_path}; final acc {hist2[-1]['acc_64']:.3f}/"
+              f"{hist2[-1]['acc_32']:.3f}/{hist2[-1]['acc_16']:.3f}")
+
+
+if __name__ == "__main__":
+    main()
