@@ -44,11 +44,12 @@ class FrameParallelAI:
         self._sharding = NamedSharding(mesh, P("data"))
         self._replicated = NamedSharding(mesh, P())
 
-        def decide_one(y, probs):
+        def decide_one(y, cb, cr, probs):
             res = search.search_frame(
                 y, self._origins, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
                 n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=probs,
-                thr_up=self.thr.up, thr_down=self.thr.down)
+                thr_up=self.thr.up, thr_down=self.thr.down,
+                cb_plane=cb, cr_plane=cr)
             return res.depth8, res.modes8
 
         def recon_one(y, cb, cr, d8, m8):
@@ -74,9 +75,11 @@ class FrameParallelAI:
                 probs = None
 
             if probs is not None:
-                d8s, m8s = jax.vmap(decide_one)(ys, probs)
+                d8s, m8s = jax.vmap(decide_one)(ys, cbs, crs, probs)
             else:
-                d8s, m8s = jax.vmap(lambda y: decide_one(y, None))(ys)
+                d8s, m8s = jax.vmap(
+                    lambda y, cb, cr: decide_one(y, cb, cr, None))(
+                    ys, cbs, crs)
 
             # frame-level maps from per-CTU grids
             nx, ny = cfg.ctus_x, cfg.ctus_y
@@ -90,7 +93,7 @@ class FrameParallelAI:
             planes = jax.vmap(recon_one)(ys, cbs, crs, d, m)
             return d, m, planes
 
-        def decide_only(ys, params):
+        def decide_only(ys, cbs, crs, params):
             if params is not None:
                 F = ys.shape[0]
                 H64, W64 = cfg.ctus_y * 64, cfg.ctus_x * 64
@@ -103,9 +106,11 @@ class FrameParallelAI:
                                       thr_l1=self.thr.l1_lower,
                                       thr_l2=self.thr.l2_lower)
                 probs = probs.reshape(F, -1, 21)
-                d8s, m8s = jax.vmap(decide_one)(ys, probs)
+                d8s, m8s = jax.vmap(decide_one)(ys, cbs, crs, probs)
             else:
-                d8s, m8s = jax.vmap(lambda y: decide_one(y, None))(ys)
+                d8s, m8s = jax.vmap(
+                    lambda y, cb, cr: decide_one(y, cb, cr, None))(
+                    ys, cbs, crs)
             nx, ny = cfg.ctus_x, cfg.ctus_y
             F = ys.shape[0]
             d = d8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
@@ -171,7 +176,7 @@ class FrameParallelAI:
         TU-wavefront reconstruction (device)."""
         from ..pipeline import recon_tu
         cfg = self.cfg
-        d, m = self._decide(ys, params)
+        d, m = self._decide(ys, cbs, crs, params)
         d_host = np.asarray(d)
         scheds = [recon_tu.build_schedule(d_host[i])[0]
                   for i in range(d_host.shape[0])]

@@ -37,19 +37,29 @@ class AIEncoder:
         self._origins = jnp.asarray(
             search.ctu_grid(cfg.pad_width, cfg.pad_height))
 
-    def _search_fn(self, qp: int, gated: bool):
-        key = (qp, gated)
+    def _search_fn(self, qp: int, gated: bool, chroma: bool):
+        key = (qp, gated, chroma)
         if key not in self._search_cache:
             cfg = self.cfg
+            kw = dict(pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                      n_ctu_x=cfg.ctus_x, qp=qp)
             if gated:
+                kw.update(thr_up=self.thr.up, thr_down=self.thr.down)
+            if gated and chroma:
+                fn = jax.jit(lambda y, orig, probs, cb, cr:
+                             search.search_frame(y, orig, hcpm_probs=probs,
+                                                 cb_plane=cb, cr_plane=cr,
+                                                 **kw))
+            elif gated:
                 fn = jax.jit(lambda y, orig, probs: search.search_frame(
-                    y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                    n_ctu_x=cfg.ctus_x, qp=qp, hcpm_probs=probs,
-                    thr_up=self.thr.up, thr_down=self.thr.down))
+                    y, orig, hcpm_probs=probs, **kw))
+            elif chroma:
+                fn = jax.jit(lambda y, orig, cb, cr: search.search_frame(
+                    y, orig, hcpm_probs=None, cb_plane=cb, cr_plane=cr,
+                    **kw))
             else:
                 fn = jax.jit(lambda y, orig: search.search_frame(
-                    y, orig, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                    n_ctu_x=cfg.ctus_x, qp=qp, hcpm_probs=None))
+                    y, orig, hcpm_probs=None, **kw))
             self._search_cache[key] = fn
         return self._search_cache[key]
 
@@ -63,15 +73,23 @@ class AIEncoder:
         return eth_cnn.apply_jit(self.cnn_params, jnp.asarray(ctus), qpv,
                                  self.thr.l1_lower, self.thr.l2_lower)
 
-    def decide_frame(self, y_pad: np.ndarray, qp=None):
-        """Run (CNN +) search; returns frame-level depth8/modes8 maps."""
+    def decide_frame(self, y_pad: np.ndarray, qp=None, cb_pad=None,
+                     cr_pad=None):
+        """Run (CNN +) search; returns frame-level depth8/modes8 maps.
+        cb_pad/cr_pad: optional chroma planes — tree decisions then
+        include the chroma RD contribution."""
         y = jnp.asarray(y_pad)
         qp = self.cfg.qp if qp is None else qp
+        chroma = cb_pad is not None
+        extra = ((jnp.asarray(cb_pad), jnp.asarray(cr_pad)) if chroma
+                 else ())
         if self.cnn_params is not None:
             probs = self.predict_hcpm(y_pad, qp)
-            res = self._search_fn(qp, True)(y, self._origins, probs)
+            res = self._search_fn(qp, True, chroma)(y, self._origins,
+                                                    probs, *extra)
         else:
-            res = self._search_fn(qp, False)(y, self._origins)
+            res = self._search_fn(qp, False, chroma)(y, self._origins,
+                                                     *extra)
         return self._assemble(res)
 
     def _assemble(self, res: search.SearchResult):
@@ -98,7 +116,7 @@ class AIEncoder:
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
             qp = rate_control.pre_frame() if rate_control else cfg.qp
             t0 = time.perf_counter()
-            depth8, modes8 = self.decide_frame(pf.y, qp)
+            depth8, modes8 = self.decide_frame(pf.y, qp, pf.cb, pf.cr)
             t1 = time.perf_counter()
             decisions, rec = self.reconstruct(pf, depth8, modes8, qp)
             t2 = time.perf_counter()

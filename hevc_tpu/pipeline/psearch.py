@@ -74,9 +74,12 @@ def _node_origins(ctu_origins, depth: int, chroma: bool = False):
     return o // 2 if chroma else o
 
 
-def _tu_transform(blocks, qp: int, tu: int, lam, use_rdoq: bool):
-    """[N, s, s] residual blocks -> (levels, recon_residual) with TUs of
-    size `tu` tiled in place."""
+def _tu_transform(blocks, qp: int, tu: int, lam, use_rdoq: bool,
+                  is_luma: bool = True):
+    """[N, s, s] residual blocks -> (levels, recon_residual, bits) with
+    TUs of size `tu` tiled in place. bits [N] = syntax-aware CABAC rate
+    estimate summed over the node's TUs (ops/bits.py)."""
+    from ..ops import bits as bits_lib
     N, s, _ = blocks.shape
     g = s // tu
     t = blocks.reshape(N, g, tu, g, tu).transpose(0, 1, 3, 2, 4)
@@ -87,22 +90,13 @@ def _tu_transform(blocks, qp: int, tu: int, lam, use_rdoq: bool):
     else:
         lvl = quant.quantize(cf, qp, is_intra=False)
     rr = transforms.inverse_transform(quant.dequantize(lvl, qp))
+    bits = bits_lib.tu_bits(lvl, is_luma=is_luma).reshape(N, g * g).sum(-1)
 
     def back(x):
         x = x.reshape(N, g, g, tu, tu).transpose(0, 1, 3, 2, 4)
         return x.reshape(N, s, s)
 
-    return back(lvl), back(rr)
-
-
-def _coef_bits(levels):
-    """Cheap coefficient-bit model (matches pipeline/search._bits_estimate
-    semantics): ~2*log2(|l|)+1.5 per nonzero + per-TU floor."""
-    a = jnp.abs(levels)
-    bits = jnp.where(a > 0,
-                     2.0 * jnp.log2(a.astype(jnp.float32) + 1.0) + 1.5,
-                     0.0)
-    return bits.sum((-2, -1))
+    return back(lvl), back(rr), bits
 
 
 def _mvd_bits(mv_q, pred_q):
@@ -190,7 +184,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                           is_luma=True)
         resi = cur_blocks.astype(jnp.int32) - pred
         tu = min(s, 32)
-        lvl, rr = _tu_transform(resi, qp, tu, lam, use_rdoq)
+        lvl, rr, bits_y = _tu_transform(resi, qp, tu, lam, use_rdoq)
         lvl_y_d[d], rr_y_d[d], pred_y_d[d] = lvl, rr, pred
 
         # chroma (4:2:0): node size s/2, TU = min(s, 32) / 2
@@ -202,8 +196,10 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                              mv_q, s // 2, is_luma=False)
         resi_cb = _node_blocks(cur_cb_t, d).astype(jnp.int32) - pred_cb
         resi_cr = _node_blocks(cur_cr_t, d).astype(jnp.int32) - pred_cr
-        lvl_cb, rr_cb = _tu_transform(resi_cb, cqp, ctu_c, lam, use_rdoq)
-        lvl_cr, rr_cr = _tu_transform(resi_cr, cqp, ctu_c, lam, use_rdoq)
+        lvl_cb, rr_cb, bits_cb = _tu_transform(resi_cb, cqp, ctu_c, lam,
+                                               use_rdoq, is_luma=False)
+        lvl_cr, rr_cr, bits_cr = _tu_transform(resi_cr, cqp, ctu_c, lam,
+                                               use_rdoq, is_luma=False)
         lvl_cb_d[d], rr_cb_d[d], pred_cb_d[d] = lvl_cb, rr_cb, pred_cb
         lvl_cr_d[d], rr_cr_d[d], pred_cr_d[d] = lvl_cr, rr_cr, pred_cr
 
@@ -217,7 +213,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
         dcr = (rec_cr - _node_blocks(cur_cr_t, d)).astype(jnp.float32)
         sse = sse + (dcb * dcb).sum((-2, -1)) + (dcr * dcr).sum((-2, -1))
 
-        bits = (_coef_bits(lvl) + _coef_bits(lvl_cb) + _coef_bits(lvl_cr))
+        bits = bits_y + bits_cb + bits_cr
         # approximate MVD predictor: zero at depth 0, else the CTU-level MV
         if d == 0:
             pred_mv = jnp.zeros_like(mv_q)

@@ -85,14 +85,11 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
     return (best_mode.reshape(B, nd), best_satd.reshape(B, nd))
 
 
-def _bits_estimate(levels):
-    """Cheap coefficient-bit model: ~2*log2(|l|)+3 per nonzero + per-TU
-    floor. levels: [..., n, n] -> [...] float32."""
-    a = jnp.abs(levels)
-    nz = a > 0
-    bits = jnp.where(nz, 2.0 * jnp.log2(a.astype(jnp.float32) + 1.0) + 1.5,
-                     0.0)
-    return bits.sum((-2, -1)) + 4.0
+def _bits_estimate(levels, is_luma=True):
+    """Syntax-aware coefficient-rate estimate (ops/bits.py: calibrated
+    per-event CABAC costs). levels: [..., n, n] -> [...] float32."""
+    from ..ops import bits as bits_lib
+    return bits_lib.tu_bits(levels, is_luma=is_luma)
 
 
 def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
@@ -143,6 +140,60 @@ def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
     sse = (d * d).sum((-2, -1))
     bits = _bits_estimate(lvl)
     cost = sse + lam * bits
+    return cost.reshape(B, nd, n_tu).sum(-1)
+
+
+def _refined_chroma_costs(c_plane, ctu_origins, depth, modes, cqp, lam,
+                          dist_w, *, pad_w, pad_h, n_ctu_x):
+    """Chroma-component leaf RD contribution per node: weighted SSE +
+    lambda * bits of the DM-mode (= luma mode) chroma TB(s). Mirrors the
+    reconstruction tiling (pipeline/recon.code_ctu): one TB of size
+    luma_size/2 per CU, except the 64 CU which codes four 16x16 chroma
+    TBs. dist_w = HM chroma distortion weight 2^((qp-qp_c)/3)
+    (TComRdCost::setCbDistortionWeight behavioral twin).
+    Returns [B, nd] float32."""
+    from ..ops import quant as quant_lib, transforms
+
+    B = ctu_origins.shape[0]
+    size = 64 >> depth
+    tu = 16 if size == 64 else size >> 1
+    offx, offy = _node_offsets(depth)
+    nd = offx.shape[0]
+    pad_wc, pad_hc = pad_w // 2, pad_h // 2
+    h, w = c_plane.shape
+
+    if size == 64:
+        tu_off = np.array([[0, 0], [16, 0], [0, 16], [16, 16]], np.int32)
+    else:
+        tu_off = np.array([[0, 0]], np.int32)
+    n_tu = tu_off.shape[0]
+    base = (ctu_origins[:, None, :] // 2
+            + jnp.stack([jnp.asarray(offx), jnp.asarray(offy)], -1)[None]
+            // 2)
+    origins = (base[:, :, None, :] + jnp.asarray(tu_off)[None, None]
+               ).reshape(B * nd * n_tu, 2)
+    modes_t = jnp.broadcast_to(modes.reshape(B, nd, 1),
+                               (B, nd, n_tu)).reshape(-1)
+
+    r = refs.prepare_refs(c_plane, origins, tu, pad_wc, pad_hc, n_ctu_x,
+                          scale=2)
+    pred = intra.predict_selected_modes(r, modes_t, tu, component="chroma")
+
+    ys = jnp.clip(origins[:, 1:2, None] + jnp.arange(tu)[None, :, None],
+                  0, h - 1)
+    xs = jnp.clip(origins[:, 0:1, None] + jnp.arange(tu)[None, None, :],
+                  0, w - 1)
+    orig = jnp.take(c_plane.reshape(-1), ys * w + xs, axis=0
+                    ).astype(jnp.int32)
+
+    resi = orig - pred
+    lvl = quant_lib.quantize(transforms.forward_transform(resi), cqp)
+    rresi = transforms.inverse_transform(quant_lib.dequantize(lvl, cqp))
+    rec = jnp.clip(pred + rresi, 0, 255)
+    d = (rec - orig).astype(jnp.float32)
+    sse = (d * d).sum((-2, -1))
+    bits = _bits_estimate(lvl, is_luma=False)
+    cost = dist_w * sse + lam * bits
     return cost.reshape(B, nd, n_tu).sum(-1)
 
 
@@ -220,7 +271,7 @@ def decide_tree(costs, ctu_origins, *, pad_w, pad_h, split_bits,
 def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                  hcpm_probs: Optional[jax.Array] = None,
                  thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
-                 rd_refine: bool = True):
+                 rd_refine: bool = True, cb_plane=None, cr_plane=None):
     """Run the partition/mode search for all CTUs of one frame.
 
     y_plane: [pad_h, pad_w] luma (uint8/int32).
@@ -228,6 +279,9 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
     hcpm_probs: [B, 21] ETH-CNN outputs, or None (no gating: thresholds
       default to always-check-both, i.e. pure search — used for label
       extraction).
+    cb_plane/cr_plane: optional [pad_h//2, pad_w//2] chroma; when given
+      (and rd_refine) the tree decisions include the DM-mode chroma RD
+      contribution (HM weighs all three components in xCheckBestMode).
     Returns SearchResult.
     """
     B = ctu_origins.shape[0]
@@ -251,6 +305,15 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                                    lam, pad_w=pad_w, pad_h=pad_h,
                                    n_ctu_x=n_ctu_x) + ovh
                  for d in range(4)}
+        if cb_plane is not None:
+            from ..ops import quant as quant_lib
+            cqp = quant_lib.chroma_qp(qp)
+            dist_w = jnp.float32(2.0 ** ((qp - cqp) / 3.0))
+            for d in range(4):
+                for cp in (jnp.asarray(cb_plane), jnp.asarray(cr_plane)):
+                    costs[d] = costs[d] + _refined_chroma_costs(
+                        cp, ctu_origins, d, modes[d], cqp, lam, dist_w,
+                        pad_w=pad_w, pad_h=pad_h, n_ctu_x=n_ctu_x)
         split_bits = lam * 2.0
     else:
         ovh = lam_sqrt * 9.5
