@@ -23,6 +23,7 @@ class EncoderConfig:
     deblock: bool = False         # in-loop deblocking (ops/deblock.py)
     sao: bool = False             # sample adaptive offset (ops/sao.py)
     rdoq: bool = True             # RD-optimized quantization (ops/rdoq.py)
+    nxn: bool = True              # intra NxN (4x4 PUs/TUs) at 8x8 CUs
     # LDP GOP-4 per-frame QP offsets by POC % 4 (1,2,3,0), matching the
     # reference encoder_lowdelay_P_main.cfg Frame1..4 QPoffset column.
     gop_qp_offsets: tuple = (3, 2, 3, 1)

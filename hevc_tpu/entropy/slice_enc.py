@@ -49,11 +49,17 @@ class SliceEncoder:
         self.qp = frame_qp
 
     def encode(self, bw, depth8, modes8, coef_y, coef_cb, coef_cr,
-               sao=None):
+               sao=None, modes4=None, nxn8=None):
         """Encode all CTUs of the frame into BitWriter bw (slice data).
-        sao: optional ops/sao.SaoParams (coded per CTU, 7.3.8.3)."""
+        sao: optional ops/sao.SaoParams (coded per CTU, 7.3.8.3).
+        modes4/nxn8: intra NxN decisions (per-4x4 modes + per-8x8 part
+        flags); None = all CUs 2Nx2N."""
         self.depth8 = np.asarray(depth8)
         self.modes8 = np.asarray(modes8)
+        self.modes4 = (np.asarray(modes4) if modes4 is not None
+                       else np.repeat(np.repeat(self.modes8, 2, 0), 2, 1))
+        self.nxn8 = (np.asarray(nxn8) if nxn8 is not None
+                     else np.zeros_like(self.modes8, bool))
         self.coef_y = np.asarray(coef_y)
         self.coef_cb = np.asarray(coef_cb)
         self.coef_cr = np.asarray(coef_cr)
@@ -106,21 +112,19 @@ class SliceEncoder:
         else:
             self._coding_unit(x0, y0, size)
 
-    def _coding_unit(self, x0, y0, size):
-        # I slice: pred mode inferred intra; part_mode only at min CU size.
-        if size == 8:
-            # part_mode 2Nx2N -> bin 1, ctx 0
-            self.enc.encode_bin(self.ctx, self.ctx.idx("part_mode", 0), 1)
+    def _mode4_at(self, x, y):
+        return int(self.modes4[y >> 2, x >> 2])
 
-        mode = self._mode_at(x0, y0)
-        cand_a = DC
-        if x0 > 0:
-            cand_a = self._mode_at(x0 - 1, y0)
+    def _mpm_for4(self, x, y):
+        """MPM candidates with 4x4-granularity neighbour modes (needed
+        for NxN PUs; identical to the 8x8 rule for 2Nx2N CUs)."""
+        cand_a = DC if x == 0 else self._mode4_at(x - 1, y)
         cand_b = DC
-        if y0 > 0 and (y0 - 1) >> 6 == y0 >> 6:  # above inside same CTU row
-            cand_b = self._mode_at(x0, y0 - 1)
-        mpm = mpm_list(cand_a, cand_b)
+        if y > 0 and (y - 1) >> 6 == y >> 6:  # above inside same CTU row
+            cand_b = self._mode4_at(x, y - 1)
+        return mpm_list(cand_a, cand_b)
 
+    def _code_luma_mode(self, mode, mpm):
         if mode in mpm:
             self.enc.encode_bin(self.ctx,
                                 self.ctx.idx("prev_intra_luma_pred"), 1)
@@ -136,6 +140,48 @@ class SliceEncoder:
                 if mode > m:
                     rem -= 1
             self.enc.encode_bypass_bins(rem, 5)
+
+    def _coding_unit(self, x0, y0, size):
+        # I slice: pred mode inferred intra; part_mode only at min CU size.
+        nxn = size == 8 and bool(self.nxn8[y0 >> 3, x0 >> 3])
+        if size == 8:
+            # part_mode: bin 1 = 2Nx2N, 0 = NxN (9.3.3.7, intra case)
+            self.enc.encode_bin(self.ctx, self.ctx.idx("part_mode", 0),
+                                0 if nxn else 1)
+
+        if nxn:
+            # 7.3.8.5: the four prev_intra_luma_pred_flags first, then the
+            # four mpm_idx / rem_intra payloads. MPM derivation uses
+            # already-reconstructed (z-order earlier) 4x4 neighbours, so
+            # flags can be derived before any payload is written.
+            pus = ((x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4))
+            modes = [self._mode4_at(x, y) for (x, y) in pus]
+            mpms = [self._mpm_for4(x, y) for (x, y) in pus]
+            for m, mpm in zip(modes, mpms):
+                self.enc.encode_bin(
+                    self.ctx, self.ctx.idx("prev_intra_luma_pred"),
+                    1 if m in mpm else 0)
+            for m, mpm in zip(modes, mpms):
+                if m in mpm:
+                    idx = mpm.index(m)
+                    self.enc.encode_bypass(0 if idx == 0 else 1)
+                    if idx:
+                        self.enc.encode_bypass(idx - 1)
+                else:
+                    rem = m
+                    for c in sorted(mpm, reverse=True):
+                        if m > c:
+                            rem -= 1
+                    self.enc.encode_bypass_bins(rem, 5)
+            # intra_chroma_pred_mode: DM (derived from PU0) -> single 0 bin
+            self.enc.encode_bin(self.ctx,
+                                self.ctx.idx("chroma_pred_mode"), 0)
+            self._transform_tree_nxn(x0, y0, modes)
+            return
+
+        mode = self._mode_at(x0, y0)
+        mpm = self._mpm_for4(x0, y0)
+        self._code_luma_mode(mode, mpm)
 
         # intra_chroma_pred_mode: DM (derived) -> single 0 bin
         self.enc.encode_bin(self.ctx, self.ctx.idx("chroma_pred_mode"), 0)
@@ -203,6 +249,39 @@ class SliceEncoder:
             cbf_luma)
         self._transform_unit(x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
                              luma_mode)
+
+    def _transform_tree_nxn(self, x0, y0, pu_modes):
+        """8x8 intra-NxN transform tree: split inferred (IntraSplitFlag),
+        chroma cbfs at the parent, four 4x4 luma TUs (per-PU scan), the
+        4x4 chroma residuals after the last child (7.3.8.10 blkIdx==3)."""
+        cbf_cb = self._tu_cbf(1, x0, y0, 8)
+        cbf_cr = self._tu_cbf(2, x0, y0, 8)
+        self.enc.encode_bin(
+            self.ctx, self.ctx.idx("qt_cbf_chroma", 0), cbf_cb)
+        self.enc.encode_bin(
+            self.ctx, self.ctx.idx("qt_cbf_chroma", 0), cbf_cr)
+        for i, (dx, dy) in enumerate(((0, 0), (4, 0), (0, 4), (4, 4))):
+            x1, y1 = x0 + dx, y0 + dy
+            cl = self._tu_cbf(0, x1, y1, 4)
+            self.enc.encode_bin(
+                self.ctx, self.ctx.idx("qt_cbf_luma", 0), cl)
+            if cl:
+                blk = self.coef_y[y1:y1 + 4, x1:x1 + 4]
+                st = scanlib.scan_type_for(pu_modes[i], 4, True)
+                residual.code_residual(self.enc, self.ctx, blk,
+                                       is_luma=True, scan_type=st)
+            if i == 3:
+                st = scanlib.scan_type_for(pu_modes[0], 4, False)
+                if cbf_cb:
+                    blk = self.coef_cb[y0 >> 1:(y0 >> 1) + 4,
+                                       x0 >> 1:(x0 >> 1) + 4]
+                    residual.code_residual(self.enc, self.ctx, blk,
+                                           is_luma=False, scan_type=st)
+                if cbf_cr:
+                    blk = self.coef_cr[y0 >> 1:(y0 >> 1) + 4,
+                                       x0 >> 1:(x0 >> 1) + 4]
+                    residual.code_residual(self.enc, self.ctx, blk,
+                                           is_luma=False, scan_type=st)
 
     def _transform_unit(self, x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
                         luma_mode):

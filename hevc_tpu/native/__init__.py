@@ -37,14 +37,17 @@ def load():
     lib.hevc_encode_slice.argtypes = [
         ctypes.POINTER(ctypes.c_int32)] * 5 + [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int] + [
+        ctypes.POINTER(ctypes.c_int32)] * 2
     _lib = lib
     return lib
 
 
 def encode_slice_data(depth8, modes8, coef_y, coef_cb, coef_cr,
-                      pad_w: int, pad_h: int, qp: int) -> bytes:
-    """CABAC-encode the slice data; returns byte-aligned RBSP bytes."""
+                      pad_w: int, pad_h: int, qp: int,
+                      modes4=None, nxn8=None) -> bytes:
+    """CABAC-encode the slice data; returns byte-aligned RBSP bytes.
+    modes4/nxn8: optional intra-NxN decisions (None = all 2Nx2N)."""
     lib = load()
 
     def as_i32(a):
@@ -58,9 +61,14 @@ def encode_slice_data(depth8, modes8, coef_y, coef_cb, coef_cr,
     def ptr(a, t=ctypes.c_int32):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
+    null = ctypes.POINTER(ctypes.c_int32)()
+    m4 = as_i32(modes4) if modes4 is not None else None
+    nx = as_i32(nxn8) if nxn8 is not None else None
     n = lib.hevc_encode_slice(ptr(d8), ptr(m8), ptr(cy), ptr(cb), ptr(cr),
                               pad_w, pad_h, qp,
-                              ptr(out, ctypes.c_uint8), cap)
+                              ptr(out, ctypes.c_uint8), cap,
+                              ptr(m4) if m4 is not None else null,
+                              ptr(nx) if nx is not None else null)
     if n < 0:
         raise RuntimeError("hevc_encode_slice failed (buffer too small?)")
     return out[:n].tobytes()

@@ -333,9 +333,18 @@ struct SliceEnc {
   Cabac& c;
   const int32_t *depth8, *modes8, *coef_y, *coef_cb, *coef_cr;
   int W, H, W8, Wc;
+  // NxN decisions (may be null: all CUs 2Nx2N)
+  const int32_t *modes4 = nullptr, *nxn8 = nullptr;
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
   int mode_at(int x, int y) const { return modes8[(y >> 3) * W8 + (x >> 3)]; }
+  int mode4_at(int x, int y) const {
+    if (!modes4) return mode_at(x, y);
+    return modes4[(y >> 2) * (W8 * 2) + (x >> 2)];
+  }
+  bool nxn_at(int x, int y) const {
+    return nxn8 && nxn8[(y >> 3) * W8 + (x >> 3)] != 0;
+  }
 
   void write_remaining(int value, int rice) {
     if (value < (3 << rice)) {
@@ -559,30 +568,81 @@ struct SliceEnc {
     }
   }
 
-  void coding_unit(int x0, int y0, int size) {
-    if (size == 8) c.bin(CTX_PART_MODE, 1);
-    int mode = mode_at(x0, y0);
-    int cand_a = x0 > 0 ? mode_at(x0 - 1, y0) : 1;
+  void mpm_for4(int x, int y, int mpm[3]) {
+    int cand_a = x > 0 ? mode4_at(x - 1, y) : 1;
     int cand_b = 1;
-    if (y0 > 0 && ((y0 - 1) >> 6) == (y0 >> 6)) cand_b = mode_at(x0, y0 - 1);
-    int mpm[3];
+    if (y > 0 && ((y - 1) >> 6) == (y >> 6)) cand_b = mode4_at(x, y - 1);
     mpm_list(cand_a, cand_b, mpm);
+  }
+
+  void code_mode_payload(int mode, const int mpm[3]) {
     int idx = mode == mpm[0] ? 0 : mode == mpm[1] ? 1 : mode == mpm[2] ? 2 : -1;
     if (idx >= 0) {
-      c.bin(CTX_PREV_INTRA, 1);
       c.ep(idx == 0 ? 0 : 1);
       if (idx) c.ep(idx - 1);
     } else {
-      c.bin(CTX_PREV_INTRA, 0);
       int rem = mode;
-      // subtract 1 for each mpm < mode
-      int s[3] = {mpm[0], mpm[1], mpm[2]};
       for (int i = 0; i < 3; ++i)
-        if (mode > s[i]) --rem;
+        if (mode > mpm[i]) --rem;
       c.eps(rem, 5);
     }
+  }
+
+  void coding_unit(int x0, int y0, int size) {
+    bool nxn = size == 8 && nxn_at(x0, y0);
+    if (size == 8) c.bin(CTX_PART_MODE, nxn ? 0 : 1);
+    if (nxn) {
+      // 7.3.8.5: four prev_intra flags first, then the four payloads
+      const int off[4][2] = {{0, 0}, {4, 0}, {0, 4}, {4, 4}};
+      int pm[4], mpms[4][3];
+      for (int i = 0; i < 4; ++i) {
+        int xi = x0 + off[i][0], yi = y0 + off[i][1];
+        pm[i] = mode4_at(xi, yi);
+        mpm_for4(xi, yi, mpms[i]);
+        bool in_mpm = pm[i] == mpms[i][0] || pm[i] == mpms[i][1] ||
+                      pm[i] == mpms[i][2];
+        c.bin(CTX_PREV_INTRA, in_mpm ? 1 : 0);
+      }
+      for (int i = 0; i < 4; ++i) code_mode_payload(pm[i], mpms[i]);
+      c.bin(CTX_CHROMA_PRED, 0);  // DM (PU0)
+      transform_tree_nxn(x0, y0, pm);
+      return;
+    }
+    int mode = mode_at(x0, y0);
+    int mpm[3];
+    mpm_for4(x0, y0, mpm);
+    int idx = mode == mpm[0] ? 0 : mode == mpm[1] ? 1 : mode == mpm[2] ? 2 : -1;
+    c.bin(CTX_PREV_INTRA, idx >= 0 ? 1 : 0);
+    code_mode_payload(mode, mpm);
     c.bin(CTX_CHROMA_PRED, 0);  // DM
     transform_tree(x0, y0, size, mode);
+  }
+
+  void transform_tree_nxn(int x0, int y0, const int pm[4]) {
+    // 8x8 intra NxN: split inferred (IntraSplitFlag), chroma cbfs at the
+    // parent, four 4x4 luma TUs, chroma residual after blkIdx==3
+    bool cbf_cb = tu_cbf(1, x0, y0, 8);
+    bool cbf_cr = tu_cbf(2, x0, y0, 8);
+    c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cb);
+    c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cr);
+    const int off[4][2] = {{0, 0}, {4, 0}, {0, 4}, {4, 4}};
+    for (int i = 0; i < 4; ++i) {
+      int x1 = x0 + off[i][0], y1 = y0 + off[i][1];
+      bool cl = tu_cbf(0, x1, y1, 4);
+      c.bin(CTX_QT_CBF_LUMA + 0, cl);
+      if (cl)
+        code_residual(coef_y + y1 * W + x1, W, 4, true,
+                      scan_type_for(pm[i], 4, true));
+      if (i == 3) {
+        int st = scan_type_for(pm[0], 4, false);
+        if (cbf_cb)
+          code_residual(coef_cb + (y0 >> 1) * Wc + (x0 >> 1), Wc, 4,
+                        false, st);
+        if (cbf_cr)
+          code_residual(coef_cr + (y0 >> 1) * Wc + (x0 >> 1), Wc, 4,
+                        false, st);
+      }
+    }
   }
 
   void coding_quadtree(int x0, int y0, int size, int depth) {
@@ -872,11 +932,13 @@ extern "C" int hevc_encode_slice(const int32_t* depth8, const int32_t* modes8,
                                  const int32_t* coef_cb,
                                  const int32_t* coef_cr,
                                  int pad_w, int pad_h, int qp,
-                                 uint8_t* out, int out_cap) {
+                                 uint8_t* out, int out_cap,
+                                 const int32_t* modes4,
+                                 const int32_t* nxn8) {
   BitWriter bw;
   Cabac cab(bw, qp);
   SliceEnc se{cab, depth8, modes8, coef_y, coef_cb, coef_cr,
-              pad_w, pad_h, pad_w / 8, pad_w / 2};
+              pad_w, pad_h, pad_w / 8, pad_w / 2, modes4, nxn8};
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
   int n_ctu = nx * ny;
   for (int ci = 0; ci < n_ctu; ++ci) {

@@ -49,12 +49,12 @@ class FrameParallelAI:
                 y, self._origins, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
                 n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=probs,
                 thr_up=self.thr.up, thr_down=self.thr.down,
-                cb_plane=cb, cr_plane=cr)
-            return res.depth8, res.modes8
+                cb_plane=cb, cr_plane=cr, nxn=cfg.nxn)
+            return res.depth8, res.modes8, res.modes4, res.nxn8
 
-        def recon_one(y, cb, cr, d8, m8):
+        def recon_one(y, cb, cr, d8, m4, nxn):
             return recon.encode_frame_planes(
-                y, cb, cr, d8, m8, qp=cfg.qp, pad_w=cfg.pad_width,
+                y, cb, cr, d8, m4, nxn, qp=cfg.qp, pad_w=cfg.pad_width,
                 pad_h=cfg.pad_height, rdoq=cfg.rdoq)
 
         def full(ys, cbs, crs, params):
@@ -74,26 +74,31 @@ class FrameParallelAI:
             else:
                 probs = None
 
+            def assemble(t, u):
+                F = ys.shape[0]
+                nx, ny = cfg.ctus_x, cfg.ctus_y
+                a = t.reshape(F, ny, nx, u, u).transpose(0, 1, 3, 2, 4)
+                a = a.reshape(F, ny * u, nx * u)
+                return a[:, :cfg.pad_height * u // 64,
+                         :cfg.pad_width * u // 64]
+
             if probs is not None:
-                d8s, m8s = jax.vmap(decide_one)(ys, cbs, crs, probs)
+                d8s, m8s, m4s, nxns = jax.vmap(decide_one)(ys, cbs, crs,
+                                                           probs)
             else:
-                d8s, m8s = jax.vmap(
+                d8s, m8s, m4s, nxns = jax.vmap(
                     lambda y, cb, cr: decide_one(y, cb, cr, None))(
                     ys, cbs, crs)
 
-            # frame-level maps from per-CTU grids
-            nx, ny = cfg.ctus_x, cfg.ctus_y
-            F = ys.shape[0]
-            d = d8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
-            d = d.reshape(F, ny * 8, nx * 8)[:, :cfg.pad_height // 8,
-                                             :cfg.pad_width // 8]
-            m = m8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
-            m = m.reshape(F, ny * 8, nx * 8)[:, :cfg.pad_height // 8,
-                                             :cfg.pad_width // 8]
-            planes = jax.vmap(recon_one)(ys, cbs, crs, d, m)
-            return d, m, planes
+            d = assemble(d8s, 8)
+            m = assemble(m8s, 8)
+            m4 = assemble(m4s, 16)
+            nxn = assemble(nxns, 8)
+            planes = jax.vmap(recon_one)(ys, cbs, crs, d, m4, nxn)
+            return d, m, m4, nxn, planes
 
         def decide_only(ys, cbs, crs, params):
+            # tu-backend decide: NxN forced off (recon_tu codes TU == CU)
             if params is not None:
                 F = ys.shape[0]
                 H64, W64 = cfg.ctus_y * 64, cfg.ctus_x * 64
@@ -106,11 +111,23 @@ class FrameParallelAI:
                                       thr_l1=self.thr.l1_lower,
                                       thr_l2=self.thr.l2_lower)
                 probs = probs.reshape(F, -1, 21)
-                d8s, m8s = jax.vmap(decide_one)(ys, cbs, crs, probs)
+            else:
+                probs = None
+
+            def one(y, cb, cr, pr):
+                res = search.search_frame(
+                    y, self._origins, pad_w=cfg.pad_width,
+                    pad_h=cfg.pad_height, n_ctu_x=cfg.ctus_x, qp=cfg.qp,
+                    hcpm_probs=pr, thr_up=self.thr.up,
+                    thr_down=self.thr.down, cb_plane=cb, cr_plane=cr,
+                    nxn=False)
+                return res.depth8, res.modes8
+
+            if probs is not None:
+                d8s, m8s = jax.vmap(one)(ys, cbs, crs, probs)
             else:
                 d8s, m8s = jax.vmap(
-                    lambda y, cb, cr: decide_one(y, cb, cr, None))(
-                    ys, cbs, crs)
+                    lambda y, cb, cr: one(y, cb, cr, None))(ys, cbs, crs)
             nx, ny = cfg.ctus_x, cfg.ctus_y
             F = ys.shape[0]
             d = d8s.reshape(F, ny, nx, 8, 8).transpose(0, 1, 3, 2, 4)
@@ -143,9 +160,9 @@ class FrameParallelAI:
 
         t0 = time.perf_counter()
         if self.recon_backend == "tu":
-            d, m, planes = self._run_tu(ys, cbs, crs, params)
+            d, m, m4, nxn, planes = self._run_tu(ys, cbs, crs, params)
         else:
-            d, m, planes = self._full(ys, cbs, crs, params)
+            d, m, m4, nxn, planes = self._full(ys, cbs, crs, params)
         jax.block_until_ready(planes)
         t1 = time.perf_counter()
 
@@ -154,6 +171,8 @@ class FrameParallelAI:
         from ..core.yuv import Frame
         d = np.asarray(d)
         m = np.asarray(m)
+        m4 = np.asarray(m4)
+        nxn = np.asarray(nxn)
         coef_y = np.asarray(planes.coef_y)
         coef_cb = np.asarray(planes.coef_cb)
         coef_cr = np.asarray(planes.coef_cr)
@@ -162,7 +181,8 @@ class FrameParallelAI:
         rec_cr = np.asarray(planes.recon_cr)
         t2 = time.perf_counter()
         for i in range(len(frames)):
-            decisions = dict(depth8=d[i], modes8=m[i], coef_y=coef_y[i],
+            decisions = dict(depth8=d[i], modes8=m[i], modes4=m4[i],
+                             nxn8=nxn[i], coef_y=coef_y[i],
                              coef_cb=coef_cb[i], coef_cr=coef_cr[i])
             chunks.append(self._entropy(decisions))
             recons.append(Frame(rec_y[i], rec_cb[i], rec_cr[i]))
@@ -203,21 +223,96 @@ class FrameParallelAI:
                     jnp.asarray(stacked[1][0]), jnp.asarray(stacked[1][1]),
                     jnp.asarray(stacked[2][0]), jnp.asarray(stacked[2][1]),
                     jnp.asarray(stacked[4][0]), jnp.asarray(stacked[4][1]))
-        return d, m, planes
+        m4 = jnp.repeat(jnp.repeat(m, 2, 1), 2, 2)
+        nxn = jnp.zeros(d.shape, bool)
+        return d, m, m4, nxn, planes
 
     def _entropy(self, decisions) -> bytes:
         from ..pipeline.ai import entropy_encode_slice
         return entropy_encode_slice(self.cfg, decisions)
 
-    def encode(self, frames, with_hash_sei: bool = True):
+    def encode(self, frames, with_hash_sei: bool = True,
+               chunk: int = 0):
+        """chunk > 0 pipelines the encode: the device computes chunk N+1
+        while the host drains chunk N (D2H transfer + CABAC packing on a
+        worker thread). JAX dispatch is async, so launching the next
+        chunk before touching the previous chunk's arrays overlaps
+        device and host work with no extra machinery."""
         cfg = self.cfg
         out = [headers.write_vps(cfg), headers.write_sps(cfg),
                headers.write_pps(cfg)]
-        chunks, recons, device_s = self.encode_batch(frames)
+        if chunk <= 0 or chunk >= len(frames):
+            chunks, recons, device_s = self.encode_batch(frames)
+            stats = dict(self.last_stats)
+        else:
+            import concurrent.futures as cf
+            groups = [frames[i:i + chunk]
+                      for i in range(0, len(frames), chunk)]
+            launched = []  # (device arrays d, m, planes) per group
+            for g in groups:
+                launched.append(self._launch(g))
+            chunks, recons = [], []
+            stats = {"device_s": 0.0, "transfer_s": 0.0, "entropy_s": 0.0}
+            with cf.ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(self._drain, L, len(g))
+                        for L, g in zip(launched, groups)]
+                for f in futs:
+                    ch, rc, st = f.result()
+                    chunks.extend(ch)
+                    recons.extend(rc)
+                    for k in stats:
+                        stats[k] += st[k]
+            self.last_stats = stats
         for ch, rec in zip(chunks, recons):
             out.append(ch)
             if with_hash_sei:
                 out.append(headers.write_hash_sei(
                     golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
                     golden.md5_plane(rec.cr)))
-        return b"".join(out), dict(self.last_stats)
+        return b"".join(out), dict(stats)
+
+    def _launch(self, frames):
+        """Dispatch the device program for a frame group (async)."""
+        cfg = self.cfg
+        pfs = [pad_frame(f, cfg.pad_width, cfg.pad_height) for f in frames]
+        ys = jax.device_put(np.stack([p.y for p in pfs]), self._sharding)
+        cbs = jax.device_put(np.stack([p.cb for p in pfs]), self._sharding)
+        crs = jax.device_put(np.stack([p.cr for p in pfs]), self._sharding)
+        params = self.cnn_params
+        if params is not None:
+            params = jax.device_put(params, self._replicated)
+        t0 = time.perf_counter()
+        if self.recon_backend == "tu":
+            out = self._run_tu(ys, cbs, crs, params)
+        else:
+            out = self._full(ys, cbs, crs, params)
+        return out + (t0,)
+
+    def _drain(self, launched, n_frames):
+        """Transfer one group's results and pack its slices (host)."""
+        from ..core.yuv import Frame
+        d, m, m4, nxn, planes, t0 = launched
+        jax.block_until_ready(planes)
+        t1 = time.perf_counter()
+        d = np.asarray(d)
+        m = np.asarray(m)
+        m4 = np.asarray(m4)
+        nxn = np.asarray(nxn)
+        coef_y = np.asarray(planes.coef_y)
+        coef_cb = np.asarray(planes.coef_cb)
+        coef_cr = np.asarray(planes.coef_cr)
+        rec_y = np.asarray(planes.recon_y)
+        rec_cb = np.asarray(planes.recon_cb)
+        rec_cr = np.asarray(planes.recon_cr)
+        t2 = time.perf_counter()
+        chunks, recons = [], []
+        for i in range(n_frames):
+            decisions = dict(depth8=d[i], modes8=m[i], modes4=m4[i],
+                             nxn8=nxn[i], coef_y=coef_y[i],
+                             coef_cb=coef_cb[i], coef_cr=coef_cr[i])
+            chunks.append(self._entropy(decisions))
+            recons.append(Frame(rec_y[i], rec_cb[i], rec_cr[i]))
+        t3 = time.perf_counter()
+        return chunks, recons, {"device_s": t1 - t0,
+                                "transfer_s": t2 - t1,
+                                "entropy_s": t3 - t2}

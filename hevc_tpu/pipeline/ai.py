@@ -28,6 +28,10 @@ class AIEncoder:
                  cnn_params=None,
                  thresholds: Optional[hcpm.Thresholds] = None,
                  recon_backend: str = "tpu"):
+        if recon_backend == "tu" and cfg.nxn:
+            # the TU-wavefront backend codes TU == CU (no NxN support)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, nxn=False)
         self.cfg = cfg
         self.cnn_params = cnn_params
         self.thr = thresholds or hcpm.DEFAULT_AI
@@ -42,7 +46,7 @@ class AIEncoder:
         if key not in self._search_cache:
             cfg = self.cfg
             kw = dict(pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                      n_ctu_x=cfg.ctus_x, qp=qp)
+                      n_ctu_x=cfg.ctus_x, qp=qp, nxn=cfg.nxn)
             if gated:
                 kw.update(thr_up=self.thr.up, thr_down=self.thr.down)
             if gated and chroma:
@@ -78,6 +82,13 @@ class AIEncoder:
         """Run (CNN +) search; returns frame-level depth8/modes8 maps.
         cb_pad/cr_pad: optional chroma planes — tree decisions then
         include the chroma RD contribution."""
+        d8, m8, _, _ = self.decide_frame_full(y_pad, qp, cb_pad, cr_pad)
+        return d8, m8
+
+    def decide_frame_full(self, y_pad: np.ndarray, qp=None, cb_pad=None,
+                          cr_pad=None):
+        """decide_frame + the NxN decisions: returns (depth8, modes8,
+        modes4, nxn8) frame-level maps."""
         y = jnp.asarray(y_pad)
         qp = self.cfg.qp if qp is None else qp
         chroma = cb_pad is not None
@@ -95,12 +106,17 @@ class AIEncoder:
     def _assemble(self, res: search.SearchResult):
         cfg = self.cfg
         nx, ny = cfg.ctus_x, cfg.ctus_y
-        d = np.asarray(res.depth8).reshape(ny, nx, 8, 8)
-        m = np.asarray(res.modes8).reshape(ny, nx, 8, 8)
-        d = d.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
-        m = m.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
-        h8, w8 = cfg.pad_height // 8, cfg.pad_width // 8
-        return d[:h8, :w8].astype(np.int32), m[:h8, :w8].astype(np.int32)
+
+        def grid(t, u):
+            a = np.asarray(t).reshape(ny, nx, u, u)
+            a = a.transpose(0, 2, 1, 3).reshape(ny * u, nx * u)
+            return a[:cfg.pad_height * u // 64, :cfg.pad_width * u // 64]
+
+        d = grid(res.depth8, 8).astype(np.int32)
+        m = grid(res.modes8, 8).astype(np.int32)
+        m4 = grid(res.modes4, 16).astype(np.int32)
+        nxn = grid(res.nxn8, 8).astype(bool)
+        return d, m, m4, nxn
 
     def encode(self, frames, with_hash_sei: bool = True,
                rate_control=None):
@@ -116,9 +132,11 @@ class AIEncoder:
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
             qp = rate_control.pre_frame() if rate_control else cfg.qp
             t0 = time.perf_counter()
-            depth8, modes8 = self.decide_frame(pf.y, qp, pf.cb, pf.cr)
+            depth8, modes8, modes4, nxn8 = self.decide_frame_full(
+                pf.y, qp, pf.cb, pf.cr)
             t1 = time.perf_counter()
-            decisions, rec = self.reconstruct(pf, depth8, modes8, qp)
+            decisions, rec = self.reconstruct(pf, depth8, modes8, qp,
+                                              modes4=modes4, nxn8=nxn8)
             t2 = time.perf_counter()
             chunks.append(self._entropy_encode(decisions, qp))
             if rate_control:
@@ -137,13 +155,20 @@ class AIEncoder:
     def _entropy_encode(self, decisions, qp=None) -> bytes:
         return entropy_encode_slice(self.cfg, decisions, qp=qp)
 
-    def reconstruct(self, pf, depth8, modes8, qp=None):
+    def reconstruct(self, pf, depth8, modes8, qp=None, modes4=None,
+                    nxn8=None):
         """Normative reconstruction + coefficients (TPU wavefront by
-        default; 'golden' NumPy backend as oracle/fallback)."""
+        default; 'golden' NumPy backend as oracle/fallback).
+        modes4/nxn8: NxN decisions; None = all CUs 2Nx2N."""
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
+        if modes4 is None:
+            modes4 = np.repeat(np.repeat(modes8, 2, 0), 2, 1)
+        if nxn8 is None:
+            nxn8 = np.zeros_like(np.asarray(depth8), bool)
         if self.recon_backend == "golden":
-            return self.golden.encode_frame(pf, depth8, modes8)
+            return self.golden.encode_frame(pf, depth8, modes8,
+                                            modes4=modes4, nxn8=nxn8)
         if self.recon_backend == "tu":
             from . import recon_tu
             planes = recon_tu.reconstruct_tu(
@@ -151,10 +176,11 @@ class AIEncoder:
                 qp=qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
         else:
             planes = recon.encode_frame_planes_jit(
-                pf.y, pf.cb, pf.cr, depth8, modes8,
+                pf.y, pf.cb, pf.cr, depth8, modes4, nxn8,
                 qp=qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
                 rdoq=cfg.rdoq)
-        decisions = dict(depth8=depth8, modes8=modes8,
+        decisions = dict(depth8=depth8, modes8=modes8, modes4=modes4,
+                         nxn8=nxn8,
                          coef_y=np.asarray(planes.coef_y),
                          coef_cb=np.asarray(planes.coef_cb),
                          coef_cr=np.asarray(planes.coef_cr))
@@ -181,6 +207,8 @@ def entropy_encode_slice(cfg, decisions, qp=None) -> bytes:
     qp = cfg.qp if qp is None else qp
     bw = headers.start_idr_slice(cfg, qp)
     sao = decisions.get("sao")
+    modes4 = decisions.get("modes4")
+    nxn8 = decisions.get("nxn8")
     if sao is None:
         try:
             from .. import native
@@ -188,7 +216,7 @@ def entropy_encode_slice(cfg, decisions, qp=None) -> bytes:
                 decisions["depth8"], decisions["modes8"],
                 decisions["coef_y"], decisions["coef_cb"],
                 decisions["coef_cr"], cfg.pad_width, cfg.pad_height,
-                qp)
+                qp, modes4=modes4, nxn8=nxn8)
             rbsp = bw.get_bytes() + data
             from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
             return nal_unit(NAL_IDR_W_RADL, rbsp)
@@ -197,5 +225,5 @@ def entropy_encode_slice(cfg, decisions, qp=None) -> bytes:
     se = SliceEncoder(cfg, qp)
     se.encode(bw, decisions["depth8"], decisions["modes8"],
               decisions["coef_y"], decisions["coef_cb"],
-              decisions["coef_cr"], sao=sao)
+              decisions["coef_cr"], sao=sao, modes4=modes4, nxn8=nxn8)
     return headers.finish_slice_nal(bw)

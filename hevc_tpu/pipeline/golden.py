@@ -99,11 +99,14 @@ class GoldenEncoder:
         self.zmap = zorder.frame_zmap(cfg.pad_width, cfg.pad_height)
 
     def encode_frame(self, frame: Frame, depth8: np.ndarray,
-                     modes8: np.ndarray = None):
+                     modes8: np.ndarray = None, modes4: np.ndarray = None,
+                     nxn8: np.ndarray = None):
         """Encode one frame.
 
         depth8: [H/8, W/8] CU depth map (decisions, e.g. from HCPM gating).
         modes8: optional fixed intra modes; None = SATD-select per CU.
+        modes4/nxn8: NxN part-mode decisions at depth-3 CUs ([H/4, W/4]
+        per-PU modes + [H/8, W/8] flags); None = all 2Nx2N.
         Returns (decisions dict, recon Frame).
         """
         cfg = self.cfg
@@ -122,12 +125,38 @@ class GoldenEncoder:
         coef_cb = np.zeros((H // 2, W // 2), np.int32)
         coef_cr = np.zeros((H // 2, W // 2), np.int32)
         out_modes8 = np.zeros((H // 8, W // 8), np.int32)
+        out_modes4 = np.zeros((H // 4, W // 4), np.int32)
 
         cqp = quant.chroma_qp(qp)
 
         rdoq_on = getattr(cfg, "rdoq", True)
 
         def code_cu(x0, y0, size):
+            is_nxn = (size == 8 and nxn8 is not None
+                      and bool(nxn8[y0 >> 3, x0 >> 3]))
+            if is_nxn:
+                # four 4x4 PUs == TUs in z-order, per-PU modes (DST luma);
+                # chroma is one 4x4 TB predicted with the PU0 (DM) mode
+                pu_modes = []
+                for (dx, dy) in ((0, 0), (4, 0), (0, 4), (4, 4)):
+                    m = int(modes4[(y0 + dy) >> 2, (x0 + dx) >> 2])
+                    pu_modes.append(m)
+                    out_modes4[(y0 + dy) >> 2, (x0 + dx) >> 2] = m
+                    _code_tu(orig_y, recon_y, coef_y, self.zmap,
+                             x0 + dx, y0 + dy, 4, m, qp,
+                             component="luma", pad_w=W, pad_h=H,
+                             rdoq=rdoq_on)
+                out_modes8[y0 >> 3, x0 >> 3] = pu_modes[0]
+                _code_tu(orig_cb, recon_cb, coef_cb, self.zmap,
+                         x0 >> 1, y0 >> 1, 4, pu_modes[0], cqp,
+                         component="chroma", pad_w=W // 2, pad_h=H // 2,
+                         scale=2, rdoq=rdoq_on)
+                _code_tu(orig_cr, recon_cr, coef_cr, self.zmap,
+                         x0 >> 1, y0 >> 1, 4, pu_modes[0], cqp,
+                         component="chroma", pad_w=W // 2, pad_h=H // 2,
+                         scale=2, rdoq=rdoq_on)
+                return
+
             mpm = self._mpm_for(out_modes8, x0, y0)
             if modes8 is not None:
                 mode = int(modes8[y0 >> 3, x0 >> 3])
@@ -137,6 +166,8 @@ class GoldenEncoder:
                                         orig_y, lam_sqrt, mpm, W, H)
             out_modes8[y0 >> 3:(y0 + size) >> 3,
                        x0 >> 3:(x0 + size) >> 3] = mode
+            out_modes4[y0 >> 2:(y0 + size) >> 2,
+                       x0 >> 2:(x0 + size) >> 2] = mode
 
             # luma TU(s)
             if size == 64:
@@ -187,8 +218,11 @@ class GoldenEncoder:
             cy, cx = divmod(ci, n_ctu_x)
             walk(cx * 64, cy * 64, 64, 0)
 
+        out_nxn8 = (np.asarray(nxn8, bool) if nxn8 is not None
+                    else np.zeros_like(out_modes8, bool))
         decisions = dict(depth8=depth8, modes8=out_modes8, coef_y=coef_y,
-                         coef_cb=coef_cb, coef_cr=coef_cr)
+                         coef_cb=coef_cb, coef_cr=coef_cr,
+                         modes4=out_modes4, nxn8=out_nxn8)
         recon = Frame(recon_y.astype(np.uint8), recon_cb.astype(np.uint8),
                       recon_cr.astype(np.uint8))
         return decisions, recon

@@ -185,10 +185,10 @@ class LDPEncoder:
                         else self._frame_qp(poc))
             n_chunks0 = len(chunks)
             if poc == 0:
-                d8, m8 = self.intra.decide_frame(pf.y, frame_qp, pf.cb,
-                                                 pf.cr)
-                decisions, rec = self.intra.reconstruct(pf, d8, m8,
-                                                        frame_qp)
+                d8, m8, m4, nxn = self.intra.decide_frame_full(
+                    pf.y, frame_qp, pf.cb, pf.cr)
+                decisions, rec = self.intra.reconstruct(
+                    pf, d8, m8, frame_qp, modes4=m4, nxn8=nxn)
                 chunks.append(self.intra._entropy_encode(decisions,
                                                          frame_qp))
             elif self.tree == "flat":

@@ -54,7 +54,7 @@ def node_table():
 
 def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
              component, g_origin, pad_w, pad_h, n_ctu_x, scale,
-             rdoq=True):
+             rdoq=True, use_dst=False):
     """Code one TB inside the extended tile [2S+1, 2S+1] (interior at
     [1:S+1, 1:S+1], context in row 0 / col 0). Returns (ext, coef).
 
@@ -78,14 +78,15 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
     pred = intra.predict_one_mode(r_use, mode, n, component=component)
     orig = orig_tile[y0:y0 + n, x0:x0 + n]
     resi = orig.astype(jnp.int32) - pred
-    cf = transforms.forward_transform(resi)
+    cf = transforms.forward_transform(resi, use_dst=use_dst)
     if rdoq:
         from ..ops import rdoq as rdoq_lib
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
         lvl = rdoq_lib.rd_quantize(cf, qp, lam)
     else:
         lvl = quant.quantize(cf, qp)
-    rresi = transforms.inverse_transform(quant.dequantize(lvl, qp))
+    rresi = transforms.inverse_transform(quant.dequantize(lvl, qp),
+                                         use_dst=use_dst)
     rec = jnp.clip(pred + rresi, 0, 255)
 
     old_coef = coef[y0:y0 + n, x0:x0 + n]
@@ -98,8 +99,8 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
 
 
 def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
-             depth8_t, modes8_t, g_origin, *, qp, cqp, pad_w, pad_h,
-             n_ctu_x, rdoq=True):
+             depth8_t, modes4_t, nxn8_t, g_origin, *, qp, cqp, pad_w,
+             pad_h, n_ctu_x, rdoq=True):
     """Code one CTU. ctx_*: (top [2S], left [S], corner scalar) tuples.
     Returns (rec_y [64,64], rec_cb, rec_cr, coef_y, coef_cb, coef_cr)."""
 
@@ -115,7 +116,7 @@ def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
               make_ext(32, ctx_cr), jnp.zeros((64, 64), jnp.int32),
               jnp.zeros((32, 32), jnp.int32), jnp.zeros((32, 32), jnp.int32))
 
-    def branch_fn(size, carry, x0, y0, leaf, mode):
+    def branch_fn(size, carry, x0, y0, leaf, mode, nxn):
         ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr = carry
         g_chroma = g_origin // 2
         ckw = dict(component="chroma", g_origin=g_chroma, pad_w=pad_w // 2,
@@ -136,8 +137,22 @@ def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
                                            cx, cy, 16, mode, leaf, cqp,
                                            **ckw)
         else:
-            ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t, x0, y0,
-                                     size, mode, leaf, qp, **lkw)
+            if size == 8:
+                # 2Nx2N 8x8 TU (leaf & ~nxn) then the four 4x4 NxN
+                # PUs/TUs (leaf & nxn, DST, per-PU modes) — both chains
+                # are in the graph; the leaf masks select which one
+                # lands in the carry.
+                ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t, x0, y0,
+                                         8, mode, leaf & ~nxn, qp, **lkw)
+                for (dx, dy) in ((0, 0), (4, 0), (0, 4), (4, 4)):
+                    m4 = modes4_t[(y0 + dy) >> 2, (x0 + dx) >> 2]
+                    ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t,
+                                             x0 + dx, y0 + dy, 4, m4,
+                                             leaf & nxn, qp,
+                                             use_dst=True, **lkw)
+            else:
+                ext_y, coef_y = _code_tu(ext_y, coef_y, orig_y_t, x0, y0,
+                                         size, mode, leaf, qp, **lkw)
             half = size >> 1
             ext_cb, coef_cb = _code_tu(ext_cb, coef_cb, orig_cb_t,
                                        x0 >> 1, y0 >> 1, half, mode, leaf,
@@ -155,8 +170,10 @@ def code_ctu(orig_y_t, orig_cb_t, orig_cr_t, ctx_y, ctx_cb, ctx_cr,
     for (d, x0, y0) in node_table():
         d, x0, y0 = int(d), int(x0), int(y0)
         leaf = depth8_t[y0 >> 3, x0 >> 3] == d
-        mode = modes8_t[y0 >> 3, x0 >> 3]
-        carry = branch_fn(64 >> d, carry, x0, y0, leaf, mode)
+        # CU mode = the PU0 (top-left 4x4) mode; chroma DM likewise
+        mode = modes4_t[y0 >> 2, x0 >> 2]
+        nxn = nxn8_t[y0 >> 3, x0 >> 3]
+        carry = branch_fn(64 >> d, carry, x0, y0, leaf, mode, nxn)
     ext_y, ext_cb, ext_cr, coef_y, coef_cb, coef_cr = carry
     return (ext_y[1:65, 1:65], ext_cb[1:33, 1:33], ext_cr[1:33, 1:33],
             coef_y, coef_cb, coef_cr)
@@ -178,10 +195,14 @@ def _diag_lanes(nx, ny):
     return cxs, cys, act
 
 
-def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
+def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes4, nxn8, *,
                         qp: int, pad_w: int, pad_h: int,
                         rdoq: bool = True) -> FramePlanes:
     """Jittable whole-frame normative reconstruction + coefficients.
+
+    modes4: [pad_h/4, pad_w/4] per-4x4 luma modes (the PU modes; for
+    2Nx2N CUs each 4x4 carries the CU mode). nxn8: [pad_h/8, pad_w/8]
+    bool NxN part flags at depth-3 CUs.
 
     pad_w/pad_h are the coded (min-CU-aligned) dims; internally everything
     is CTU-aligned — boundary CTUs extend past the frame, their outside
@@ -202,7 +223,8 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
     orig_cb = pad_to(orig_cb, H64 // 2, W64 // 2)
     orig_cr = pad_to(orig_cr, H64 // 2, W64 // 2)
     depth8 = pad_to(depth8, H64 // 8, W64 // 8, value=-1)
-    modes8 = pad_to(modes8, H64 // 8, W64 // 8)
+    modes4 = pad_to(modes4, H64 // 4, W64 // 4)
+    nxn8 = pad_to(nxn8, H64 // 8, W64 // 8).astype(bool)
 
     planes = FramePlanes(
         recon_y=jnp.zeros((H64, W64), jnp.int32),
@@ -240,7 +262,9 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
                 ctx(pry, oy, ox, 64), ctx(prcb, oyc, oxc, 32),
                 ctx(prcr, oyc, oxc, 32),
                 jax.lax.dynamic_slice(depth8, (cy * 8, cx * 8), (8, 8)),
-                jax.lax.dynamic_slice(modes8, (cy * 8, cx * 8), (8, 8)),
+                jax.lax.dynamic_slice(modes4, (cy * 16, cx * 16),
+                                      (16, 16)),
+                jax.lax.dynamic_slice(nxn8, (cy * 8, cx * 8), (8, 8)),
                 jnp.stack([ox, oy]),
                 qp=qp, cqp=cqp, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx,
                 rdoq=rdoq)
@@ -286,7 +310,8 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("qp", "pad_w", "pad_h", "rdoq"))
-def encode_frame_planes_jit(orig_y, orig_cb, orig_cr, depth8, modes8, *,
-                            qp, pad_w, pad_h, rdoq=True):
-    return encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes8,
-                               qp=qp, pad_w=pad_w, pad_h=pad_h, rdoq=rdoq)
+def encode_frame_planes_jit(orig_y, orig_cb, orig_cr, depth8, modes4,
+                            nxn8, *, qp, pad_w, pad_h, rdoq=True):
+    return encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes4,
+                               nxn8, qp=qp, pad_w=pad_w, pad_h=pad_h,
+                               rdoq=rdoq)

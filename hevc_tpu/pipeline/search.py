@@ -31,6 +31,8 @@ class SearchResult(NamedTuple):
     split0: jax.Array    # [B] bool
     split1: jax.Array    # [B, 2, 2] bool
     split2: jax.Array    # [B, 4, 4] bool
+    modes4: jax.Array    # [B, 16, 16] int32 luma mode per 4x4 unit
+    nxn8: jax.Array      # [B, 8, 8] bool: NxN part mode (depth-3 CUs)
 
 
 @functools.lru_cache(maxsize=None)
@@ -93,11 +95,12 @@ def _bits_estimate(levels, is_luma=True):
 
 
 def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
-                   pad_w, pad_h, n_ctu_x):
+                   pad_w, pad_h, n_ctu_x, use_dst=False):
     """RD cost of each node coded as a leaf with its chosen mode:
     SSE(reconstruction) + lambda * estimated bits (HM J = D + lambda*R,
     TComRdCost::calcRdCost behavioral equivalent on original-pixel refs).
-    Returns [B, nd] float32."""
+    depth 4 = the 4x4 sub-PUs of NxN 8x8 CUs (use_dst=True: intra luma
+    4x4 codes DST-VII). Returns [B, nd] float32."""
     from ..ops import quant as quant_lib, transforms
 
     B = ctu_origins.shape[0]
@@ -133,8 +136,10 @@ def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
                     ).astype(jnp.int32)
 
     resi = orig - pred
-    lvl = quant_lib.quantize(transforms.forward_transform(resi), qp)
-    rresi = transforms.inverse_transform(quant_lib.dequantize(lvl, qp))
+    lvl = quant_lib.quantize(
+        transforms.forward_transform(resi, use_dst=use_dst), qp)
+    rresi = transforms.inverse_transform(quant_lib.dequantize(lvl, qp),
+                                         use_dst=use_dst)
     rec = jnp.clip(pred + rresi, 0, 255)
     d = (rec - orig).astype(jnp.float32)
     sse = (d * d).sum((-2, -1))
@@ -271,7 +276,8 @@ def decide_tree(costs, ctu_origins, *, pad_w, pad_h, split_bits,
 def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                  hcpm_probs: Optional[jax.Array] = None,
                  thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
-                 rd_refine: bool = True, cb_plane=None, cr_plane=None):
+                 rd_refine: bool = True, cb_plane=None, cr_plane=None,
+                 nxn: bool = True):
     """Run the partition/mode search for all CTUs of one frame.
 
     y_plane: [pad_h, pad_w] luma (uint8/int32).
@@ -297,6 +303,8 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
         modes[d] = m
         satds[d] = s.astype(jnp.float32)
 
+    nxn8 = jnp.zeros((B, 8, 8), bool)
+    modes4_nxn = None
     if rd_refine:
         # true RD leaf costs (SSE + lambda*bits) for the SATD-chosen mode;
         # per-CU overhead: intra dir ~5.5 bits + flags/cbfs ~4 bits
@@ -305,15 +313,42 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                                    lam, pad_w=pad_w, pad_h=pad_h,
                                    n_ctu_x=n_ctu_x) + ovh
                  for d in range(4)}
+        chroma_cost = None
         if cb_plane is not None:
             from ..ops import quant as quant_lib
             cqp = quant_lib.chroma_qp(qp)
             dist_w = jnp.float32(2.0 ** ((qp - cqp) / 3.0))
-            for d in range(4):
+
+            def chroma_cost(d, m):
+                out = 0.0
                 for cp in (jnp.asarray(cb_plane), jnp.asarray(cr_plane)):
-                    costs[d] = costs[d] + _refined_chroma_costs(
-                        cp, ctu_origins, d, modes[d], cqp, lam, dist_w,
+                    out = out + _refined_chroma_costs(
+                        cp, ctu_origins, d, m, cqp, lam, dist_w,
                         pad_w=pad_w, pad_h=pad_h, n_ctu_x=n_ctu_x)
+                return out
+
+            for d in range(4):
+                costs[d] = costs[d] + chroma_cost(d, modes[d])
+        if nxn:
+            # NxN candidate at depth 3: four 4x4 PUs/TUs (DST), competing
+            # against 2Nx2N per 8x8 CU (HM xCheckRDCostIntra SIZE_NxN).
+            m4, _ = _best_mode_per_node(y_plane, ctu_origins, 4, pad_w,
+                                        pad_h, n_ctu_x)
+            modes4_nxn = m4
+            cost4 = _refined_costs(y_plane, ctu_origins, 4, m4, qp, lam,
+                                   pad_w=pad_w, pad_h=pad_h,
+                                   n_ctu_x=n_ctu_x, use_dst=True)
+            # pool the 16x16 grid of 4x4 leaves into 8x8-CU sums
+            c4 = cost4.reshape(B, 8, 2, 8, 2).sum((2, 4)).reshape(B, 64)
+            # overhead: part bit + 3 extra intra dirs + extra cbf coding
+            nxn_cost = c4 + lam * 27.0
+            if chroma_cost is not None:
+                m4_tl = m4.reshape(B, 8, 2, 8, 2)[:, :, 0, :, 0]
+                nxn_cost = nxn_cost + chroma_cost(
+                    3, m4_tl.reshape(B, 64))
+            pick_nxn = nxn_cost < costs[3]
+            costs[3] = jnp.where(pick_nxn, nxn_cost, costs[3])
+            nxn8 = pick_nxn.reshape(B, 8, 8)
         split_bits = lam * 2.0
     else:
         ovh = lam_sqrt * 9.5
@@ -333,8 +368,24 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
     modes8 = jnp.take_along_axis(stacked, depth8[..., None],
                                  axis=-1)[..., 0]
 
+    # 4x4-granularity modes: NxN leaves use their per-PU modes, everything
+    # else repeats the CU mode; nxn8 only applies where depth == 3
+    nxn8 = nxn8 & (depth8 == 3)
+    modes4 = jnp.repeat(jnp.repeat(modes8, 2, 1), 2, 2)
+    if modes4_nxn is not None:
+        m4g = modes4_nxn.reshape(B, 8, 2, 8, 2).transpose(0, 1, 3, 2, 4)
+        m4g = m4g.reshape(B, 8, 8, 4)  # per 8x8 unit: its 4 sub-modes
+        nxn_rep = nxn8[..., None]
+        m4sel = jnp.where(nxn_rep, m4g, modes8[..., None])
+        # back to [B, 16, 16]
+        m4sel = m4sel.reshape(B, 8, 8, 2, 2).transpose(0, 1, 3, 2, 4)
+        modes4 = m4sel.reshape(B, 16, 16)
+        # keep modes8 = the PU0 mode (chroma DM + neighbour derivation)
+        modes8 = modes4[:, ::2, ::2]
+
     return SearchResult(depth8=depth8, modes8=modes8, split0=split0,
-                        split1=split1, split2=split2)
+                        split1=split1, split2=split2, modes4=modes4,
+                        nxn8=nxn8)
 
 
 def ctu_grid(pad_w: int, pad_h: int, ctu: int = 64):

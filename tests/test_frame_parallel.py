@@ -38,7 +38,8 @@ def test_frame_parallel_hm_decodes(tmp_path):
 
 
 def test_frame_parallel_tu_backend_matches():
-    cfg = headers.EncoderConfig(width=64, height=64, qp=32)
+    # equal mode space: the TU backend has no NxN support
+    cfg = headers.EncoderConfig(width=64, height=64, qp=32, nxn=False)
     frames = [synth_frame(64, 64, seed=s) for s in range(4)]
     mesh = make_mesh(4, model_axis=1)
     p_tu = pframes.FrameParallelAI(cfg, mesh, recon_backend="tu")
@@ -46,3 +47,15 @@ def test_frame_parallel_tu_backend_matches():
     p_ctu = pframes.FrameParallelAI(cfg, mesh)
     s_ctu, _ = p_ctu.encode(frames)
     assert s_tu == s_ctu
+
+
+def test_chunked_pipeline_matches_batch():
+    """Overlapped (chunked) encode is byte-identical to one-shot."""
+    cfg = headers.EncoderConfig(width=64, height=64, qp=32)
+    frames = [synth_frame(64, 64, seed=s) for s in range(8)]
+    mesh = make_mesh(4, model_axis=1)
+    penc = pframes.FrameParallelAI(cfg, mesh)
+    s_batch, _ = penc.encode(frames)
+    s_chunk, stats = penc.encode(frames, chunk=4)
+    assert s_batch == s_chunk
+    assert stats["entropy_s"] > 0

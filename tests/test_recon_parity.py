@@ -19,8 +19,10 @@ def _compare(cfg, frame, depth8, seed_modes=True):
     d8, m8 = enc.decide_frame(pf.y)
     if depth8 is not None:
         d8 = depth8
+    m4 = np.repeat(np.repeat(m8, 2, 0), 2, 1)
+    nxn = np.zeros_like(d8, bool)
     planes = recon.encode_frame_planes_jit(
-        pf.y, pf.cb, pf.cr, d8, m8,
+        pf.y, pf.cb, pf.cr, d8, m4, nxn,
         qp=cfg.qp, pad_w=cfg.pad_width, pad_h=cfg.pad_height)
     decisions, grecon = genc.encode_frame(pf, d8, m8)
 
