@@ -1,0 +1,452 @@
+"""Slice-data CABAC decoding: I (intra, NxN) and P (merge/skip, AMVP).
+
+Exact syntax mirror of ..entropy.slice_enc.SliceEncoder and
+..entropy.slice_enc_p.PSliceEncoder (reference counterparts:
+TDecSlice.cpp:69 CTU loop, TDecCu.cpp:128 decodeCtu, TDecSbac.cpp
+parse* functions). Produces the same decision tensors the encoder's
+device pipeline emits: depth8 / modes4 / nxn8 / mvq8 / coefficient
+planes (+ per-CTU SAO parameters), which ..decoder.recon_dec then
+reconstructs with the shared normative ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import zorder
+from ..entropy import residual, scan as scanlib
+from ..entropy.cabac import CabacDecoder
+from ..entropy.contexts import ContextModels
+from ..entropy.slice_enc import mpm_list, PLANAR, DC, VER
+from ..entropy.slice_enc_p import amvp_cand0, merge_candidates
+from ..ops.sao import SaoParams, SAO_NONE, SAO_BAND, SAO_EDGE
+
+
+# ---------------------------------------------------------------------------
+# SAO parameter decoding (mirror of entropy/sao_syntax.code_sao_ctu)
+# ---------------------------------------------------------------------------
+
+def _decode_type_idx(dec, ctx) -> int:
+    if not dec.decode_bin(ctx, ctx.idx("sao_type")):
+        return SAO_NONE
+    return SAO_EDGE if dec.decode_bypass() else SAO_BAND
+
+
+def _decode_offset_abs(dec) -> int:
+    v = 0
+    while v < 7 and dec.decode_bypass():
+        v += 1
+    return v
+
+
+def decode_sao_ctu(dec, ctx, p: SaoParams, ci: int, cx: int, cy: int,
+                   nx: int):
+    """Decode CTU ci's SAO parameters into the SaoParams arrays."""
+    def copy_from(src):
+        p.type_idx[:, ci] = p.type_idx[:, src]
+        p.eo_class[:, ci] = p.eo_class[:, src]
+        p.band_pos[:, ci] = p.band_pos[:, src]
+        p.offsets[:, ci] = p.offsets[:, src]
+
+    if cx > 0 and dec.decode_bin(ctx, ctx.idx("sao_merge")):
+        copy_from(ci - 1)
+        return
+    if cy > 0 and dec.decode_bin(ctx, ctx.idx("sao_merge")):
+        copy_from(ci - nx)
+        return
+    for c in range(3):
+        if c in (0, 1):
+            t = _decode_type_idx(dec, ctx)
+        else:
+            t = int(p.type_idx[1, ci])       # Cr inherits Cb's type
+        p.type_idx[c, ci] = t
+        if t == SAO_NONE:
+            continue
+        offs = [_decode_offset_abs(dec) for _ in range(4)]
+        if t == SAO_BAND:
+            for k in range(4):
+                if offs[k] != 0 and dec.decode_bypass():
+                    offs[k] = -offs[k]
+            p.band_pos[c, ci] = dec.decode_bypass_bins(5)
+        else:
+            if c in (0, 1):
+                p.eo_class[c, ci] = dec.decode_bypass_bins(2)
+            else:
+                p.eo_class[c, ci] = p.eo_class[1, ci]
+            # EO sign convention: categories 0,1 positive; 2,3 negative
+            offs = [offs[0], offs[1], -offs[2], -offs[3]]
+        p.offsets[c, ci] = offs
+
+
+def _empty_sao(n_ctu: int) -> SaoParams:
+    return SaoParams(type_idx=np.zeros((3, n_ctu), np.int32),
+                     eo_class=np.zeros((3, n_ctu), np.int32),
+                     band_pos=np.zeros((3, n_ctu), np.int32),
+                     offsets=np.zeros((3, n_ctu, 4), np.int32))
+
+
+# ---------------------------------------------------------------------------
+# I slice
+# ---------------------------------------------------------------------------
+
+class ISliceDecoder:
+    """Parses one I-slice payload into decision tensors."""
+
+    def __init__(self, sps, qp: int, sao_on: bool):
+        self.W = sps.pad_width
+        self.H = sps.pad_height
+        self.nx = sps.ctus_x
+        self.ny = sps.ctus_y
+        self.qp = qp
+        self.sao_on = sao_on
+
+    def decode(self, data: bytes):
+        W, H = self.W, self.H
+        self.depth8 = np.zeros((H >> 3, W >> 3), np.int32)
+        self.modes4 = np.zeros((H >> 2, W >> 2), np.int32)
+        self.nxn8 = np.zeros((H >> 3, W >> 3), bool)
+        self.coef_y = np.zeros((H, W), np.int32)
+        self.coef_cb = np.zeros((H >> 1, W >> 1), np.int32)
+        self.coef_cr = np.zeros((H >> 1, W >> 1), np.int32)
+
+        self.ctx = ContextModels(init_type=0, qp=self.qp)
+        self.dec = CabacDecoder(data)
+        n_ctu = self.nx * self.ny
+        sao = _empty_sao(n_ctu) if self.sao_on else None
+        for ci in range(n_ctu):
+            cy, cx = divmod(ci, self.nx)
+            if sao is not None:
+                decode_sao_ctu(self.dec, self.ctx, sao, ci, cx, cy,
+                               self.nx)
+            self._coding_quadtree(cx * 64, cy * 64, 64, 0)
+            term = self.dec.decode_terminate()
+            assert term == (1 if ci == n_ctu - 1 else 0), \
+                f"end_of_slice at CTU {ci}"
+        return dict(depth8=self.depth8, modes4=self.modes4,
+                    nxn8=self.nxn8, coef_y=self.coef_y,
+                    coef_cb=self.coef_cb, coef_cr=self.coef_cr,
+                    sao=sao)
+
+    # -- quadtree ---------------------------------------------------------
+    def _coding_quadtree(self, x0, y0, size, depth):
+        inside = (x0 + size <= self.W) and (y0 + size <= self.H)
+        if inside and size > 8:
+            ctx_inc = 0
+            if x0 > 0:
+                ctx_inc += int(self.depth8[y0 >> 3, (x0 - 1) >> 3] > depth)
+            if y0 > 0:
+                ctx_inc += int(self.depth8[(y0 - 1) >> 3, x0 >> 3] > depth)
+            split = self.dec.decode_bin(
+                self.ctx, self.ctx.idx("split_cu", ctx_inc))
+        else:
+            split = 1 if (not inside and size > 8) else 0
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < self.W and y1 < self.H:
+                    self._coding_quadtree(x1, y1, h, depth + 1)
+        else:
+            self.depth8[y0 >> 3:(y0 + size) >> 3,
+                        x0 >> 3:(x0 + size) >> 3] = depth
+            self._coding_unit(x0, y0, size)
+
+    # -- CU ---------------------------------------------------------------
+    def _mode4_at(self, x, y):
+        return int(self.modes4[y >> 2, x >> 2])
+
+    def _mpm_for4(self, x, y):
+        cand_a = DC if x == 0 else self._mode4_at(x - 1, y)
+        cand_b = DC
+        if y > 0 and (y - 1) >> 6 == y >> 6:
+            cand_b = self._mode4_at(x, y - 1)
+        return mpm_list(cand_a, cand_b)
+
+    def _read_mpm_payload(self, in_mpm: int, mpm):
+        if in_mpm:
+            idx = 0
+            if self.dec.decode_bypass():
+                idx = 1 + self.dec.decode_bypass()
+            return mpm[idx]
+        rem = self.dec.decode_bypass_bins(5)
+        for m in sorted(mpm):
+            if rem >= m:
+                rem += 1
+        return rem
+
+    def _coding_unit(self, x0, y0, size):
+        dec, ctx = self.dec, self.ctx
+        nxn = False
+        if size == 8:
+            nxn = dec.decode_bin(ctx, ctx.idx("part_mode", 0)) == 0
+            self.nxn8[y0 >> 3, x0 >> 3] = nxn
+        if nxn:
+            pus = ((x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4))
+            flags = [dec.decode_bin(ctx, ctx.idx("prev_intra_luma_pred"))
+                     for _ in range(4)]
+            modes = []
+            for (x, y), f in zip(pus, flags):
+                # MPM depends on earlier PUs' decoded modes: fill as we go
+                mpm = self._mpm_for4(x, y)
+                m = self._read_mpm_payload(f, mpm)
+                self.modes4[y >> 2, x >> 2] = m
+                modes.append(m)
+            dm = dec.decode_bin(ctx, ctx.idx("chroma_pred_mode"))
+            assert dm == 0, "non-DM chroma modes not in toolset"
+            self._transform_tree_nxn(x0, y0, modes)
+            return
+
+        in_mpm = dec.decode_bin(ctx, ctx.idx("prev_intra_luma_pred"))
+        mpm = self._mpm_for4(x0, y0)
+        mode = self._read_mpm_payload(in_mpm, mpm)
+        self.modes4[y0 >> 2:(y0 + size) >> 2,
+                    x0 >> 2:(x0 + size) >> 2] = mode
+        dm = dec.decode_bin(ctx, ctx.idx("chroma_pred_mode"))
+        assert dm == 0, "non-DM chroma modes not in toolset"
+        self._transform_tree(x0, y0, size, 0, mode)
+
+    # -- transform tree -----------------------------------------------------
+    def _decode_residual_into(self, plane, x0, y0, n, scan_type, is_luma):
+        blk = residual.decode_residual(self.dec, self.ctx, n,
+                                       is_luma=is_luma, scan_type=scan_type)
+        plane[y0:y0 + n, x0:x0 + n] = blk
+
+    def _transform_tree(self, x0, y0, size, trafo_depth, luma_mode):
+        dec, ctx = self.dec, self.ctx
+        split = size > 32
+        log2 = size.bit_length() - 1
+        cbf_cb = cbf_cr = 0
+        if log2 > 2:
+            cbf_cb = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                 trafo_depth))
+            cbf_cr = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                 trafo_depth))
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                self._transform_tree_child(x0 + dx, y0 + dy, h,
+                                           trafo_depth + 1, luma_mode,
+                                           cbf_cb, cbf_cr)
+            return
+        cbf_luma = dec.decode_bin(
+            ctx, ctx.idx("qt_cbf_luma", 1 if trafo_depth == 0 else 0))
+        self._transform_unit(x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
+                             luma_mode)
+
+    def _transform_tree_child(self, x0, y0, size, trafo_depth, luma_mode,
+                              parent_cbf_cb, parent_cbf_cr):
+        dec, ctx = self.dec, self.ctx
+        cbf_cb = (dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", trafo_depth))
+                  if parent_cbf_cb else 0)
+        cbf_cr = (dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", trafo_depth))
+                  if parent_cbf_cr else 0)
+        cbf_luma = dec.decode_bin(ctx, ctx.idx("qt_cbf_luma", 0))
+        self._transform_unit(x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
+                             luma_mode)
+
+    def _transform_tree_nxn(self, x0, y0, pu_modes):
+        dec, ctx = self.dec, self.ctx
+        cbf_cb = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 0))
+        cbf_cr = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 0))
+        for i, (dx, dy) in enumerate(((0, 0), (4, 0), (0, 4), (4, 4))):
+            x1, y1 = x0 + dx, y0 + dy
+            cl = dec.decode_bin(ctx, ctx.idx("qt_cbf_luma", 0))
+            if cl:
+                st = scanlib.scan_type_for(pu_modes[i], 4, True)
+                self._decode_residual_into(self.coef_y, x1, y1, 4, st, True)
+            if i == 3:
+                st = scanlib.scan_type_for(pu_modes[0], 4, False)
+                if cbf_cb:
+                    self._decode_residual_into(self.coef_cb, x0 >> 1,
+                                               y0 >> 1, 4, st, False)
+                if cbf_cr:
+                    self._decode_residual_into(self.coef_cr, x0 >> 1,
+                                               y0 >> 1, 4, st, False)
+
+    def _transform_unit(self, x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
+                        luma_mode):
+        if cbf_luma:
+            st = scanlib.scan_type_for(luma_mode, size, True)
+            self._decode_residual_into(self.coef_y, x0, y0, size, st, True)
+        half = size >> 1
+        if cbf_cb:
+            st = scanlib.scan_type_for(luma_mode, half, False)
+            self._decode_residual_into(self.coef_cb, x0 >> 1, y0 >> 1,
+                                       half, st, False)
+        if cbf_cr:
+            st = scanlib.scan_type_for(luma_mode, half, False)
+            self._decode_residual_into(self.coef_cr, x0 >> 1, y0 >> 1,
+                                       half, st, False)
+
+
+# ---------------------------------------------------------------------------
+# P slice
+# ---------------------------------------------------------------------------
+
+class PSliceDecoder:
+    """Parses one P-slice payload (single-ref LDP toolset)."""
+
+    def __init__(self, sps, qp: int, sao_on: bool):
+        self.W = sps.pad_width
+        self.H = sps.pad_height
+        self.nx = sps.ctus_x
+        self.ny = sps.ctus_y
+        self.qp = qp
+        self.sao_on = sao_on
+        self.zmap = zorder.frame_zmap(self.W, self.H)
+
+    def decode(self, data: bytes):
+        W, H = self.W, self.H
+        self.depth8 = np.zeros((H >> 3, W >> 3), np.int32)
+        self.mvq8 = np.zeros((H >> 3, W >> 3, 2), np.int32)
+        self.skip8 = np.zeros((H >> 3, W >> 3), np.uint8)
+        self.coef_y = np.zeros((H, W), np.int32)
+        self.coef_cb = np.zeros((H >> 1, W >> 1), np.int32)
+        self.coef_cr = np.zeros((H >> 1, W >> 1), np.int32)
+
+        self.ctx = ContextModels(init_type=1, qp=self.qp)
+        self.dec = CabacDecoder(data)
+        n_ctu = self.nx * self.ny
+        sao = _empty_sao(n_ctu) if self.sao_on else None
+        for ci in range(n_ctu):
+            cy, cx = divmod(ci, self.nx)
+            if sao is not None:
+                decode_sao_ctu(self.dec, self.ctx, sao, ci, cx, cy,
+                               self.nx)
+            self._coding_quadtree(cx * 64, cy * 64, 64, 0)
+            term = self.dec.decode_terminate()
+            assert term == (1 if ci == n_ctu - 1 else 0), \
+                f"end_of_slice at CTU {ci}"
+        return dict(depth8=self.depth8, mvq8=self.mvq8,
+                    coef_y=self.coef_y, coef_cb=self.coef_cb,
+                    coef_cr=self.coef_cr, sao=sao)
+
+    def _coding_quadtree(self, x0, y0, size, depth):
+        inside = (x0 + size <= self.W) and (y0 + size <= self.H)
+        if inside and size > 8:
+            inc = 0
+            if x0 > 0:
+                inc += int(self.depth8[y0 >> 3, (x0 - 1) >> 3] > depth)
+            if y0 > 0:
+                inc += int(self.depth8[(y0 - 1) >> 3, x0 >> 3] > depth)
+            split = self.dec.decode_bin(self.ctx,
+                                        self.ctx.idx("split_cu", inc))
+        else:
+            split = 1 if (not inside and size > 8) else 0
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < self.W and y1 < self.H:
+                    self._coding_quadtree(x1, y1, h, depth + 1)
+        else:
+            self.depth8[y0 >> 3:(y0 + size) >> 3,
+                        x0 >> 3:(x0 + size) >> 3] = depth
+            self._coding_unit(x0, y0, size)
+
+    def _read_eg1(self) -> int:
+        count = 1
+        v = 0
+        while self.dec.decode_bypass():
+            v += 1 << count
+            count += 1
+        return v + self.dec.decode_bypass_bins(count)
+
+    def _read_merge_idx(self) -> int:
+        if not self.dec.decode_bin(self.ctx, self.ctx.idx("merge_idx")):
+            return 0
+        idx = 1
+        while idx < 4 and self.dec.decode_bypass():
+            idx += 1
+        return idx
+
+    def _set_mv(self, x0, y0, size, mv):
+        self.mvq8[y0 >> 3:(y0 + size) >> 3,
+                  x0 >> 3:(x0 + size) >> 3] = mv
+
+    def _coding_unit(self, x0, y0, size):
+        dec, ctx = self.dec, self.ctx
+        inc = 0
+        if x0 > 0:
+            inc += int(self.skip8[y0 >> 3, (x0 - 1) >> 3])
+        if y0 > 0:
+            inc += int(self.skip8[(y0 - 1) >> 3, x0 >> 3])
+        skip = dec.decode_bin(ctx, ctx.idx("skip_flag", inc))
+        cands = merge_candidates(self.mvq8, x0, y0, size, self.W, self.H,
+                                 self.zmap)
+        if skip:
+            idx = self._read_merge_idx()
+            self._set_mv(x0, y0, size, cands[idx])
+            self.skip8[y0 >> 3:(y0 + size) >> 3,
+                       x0 >> 3:(x0 + size) >> 3] = 1
+            return
+        pred_mode = dec.decode_bin(ctx, ctx.idx("pred_mode"))
+        assert pred_mode == 0, "intra CUs in P slices not in toolset"
+        part = dec.decode_bin(ctx, ctx.idx("part_mode", 0))
+        assert part == 1, "only 2Nx2N inter CUs in toolset"
+        if dec.decode_bin(ctx, ctx.idx("merge_flag")):
+            idx = self._read_merge_idx()
+            self._set_mv(x0, y0, size, cands[idx])
+            # rqt_root_cbf inferred 1 (7.3.8.5, 2Nx2N merge)
+            self._transform_tree(x0, y0, size)
+            return
+        has_x = dec.decode_bin(ctx, ctx.idx("mvd", 0))
+        has_y = dec.decode_bin(ctx, ctx.idx("mvd", 0))
+        gt1_x = dec.decode_bin(ctx, ctx.idx("mvd", 1)) if has_x else 0
+        gt1_y = dec.decode_bin(ctx, ctx.idx("mvd", 1)) if has_y else 0
+        mvd_x = mvd_y = 0
+        if has_x:
+            ax = 2 + self._read_eg1() if gt1_x else 1
+            mvd_x = -ax if dec.decode_bypass() else ax
+        if has_y:
+            ay = 2 + self._read_eg1() if gt1_y else 1
+            mvd_y = -ay if dec.decode_bypass() else ay
+        mvp_idx = dec.decode_bin(ctx, ctx.idx("mvp_idx"))
+        assert mvp_idx == 0, "mvp_l0_flag=1 not in toolset"
+        mvp = amvp_cand0(self.mvq8, x0, y0, size, size, self.W, self.H,
+                         self.zmap)
+        self._set_mv(x0, y0, size, (mvp[0] + mvd_x, mvp[1] + mvd_y))
+        root_cbf = dec.decode_bin(ctx, ctx.idx("qt_root_cbf"))
+        if root_cbf:
+            self._transform_tree(x0, y0, size)
+
+    def _transform_tree(self, x0, y0, size):
+        dec, ctx = self.dec, self.ctx
+        cbf_cb = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 0))
+        cbf_cr = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 0))
+        if size > 32:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                ccb = (dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 1))
+                       if cbf_cb else 0)
+                ccr = (dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 1))
+                       if cbf_cr else 0)
+                cl = dec.decode_bin(ctx, ctx.idx("qt_cbf_luma", 0))
+                self._transform_unit(x1, y1, h, cl, ccb, ccr)
+        else:
+            if cbf_cb or cbf_cr:
+                cl = dec.decode_bin(ctx, ctx.idx("qt_cbf_luma", 1))
+            else:
+                cl = 1          # inferred (rqt_root_cbf was 1)
+            self._transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, x0, y0, size, cl, ccb, ccr):
+        if cl:
+            blk = residual.decode_residual(self.dec, self.ctx, size,
+                                           is_luma=True,
+                                           scan_type=scanlib.SCAN_DIAG)
+            self.coef_y[y0:y0 + size, x0:x0 + size] = blk
+        half = size >> 1
+        if ccb:
+            blk = residual.decode_residual(self.dec, self.ctx, half,
+                                           is_luma=False,
+                                           scan_type=scanlib.SCAN_DIAG)
+            self.coef_cb[y0 >> 1:(y0 >> 1) + half,
+                         x0 >> 1:(x0 >> 1) + half] = blk
+        if ccr:
+            blk = residual.decode_residual(self.dec, self.ctx, half,
+                                           is_luma=False,
+                                           scan_type=scanlib.SCAN_DIAG)
+            self.coef_cr[y0 >> 1:(y0 >> 1) + half,
+                         x0 >> 1:(x0 >> 1) + half] = blk
