@@ -30,6 +30,12 @@ from . import quant, transforms
 # results_bdrate_gated.json). Applied identically in both twins.
 LAMBDA_SCALE = float(os.environ.get("HEVC_TPU_RDOQ_LAMBDA_SCALE", "1.0"))
 
+#: quantizer model: "lite" = the 3-way compare below with the per-level
+#: approximate rate curve; "trellis" = ops/rdoq_trellis.py (exact
+#: frozen-state CABAC rates + CG zeroing + last-position sweep, the HM
+#: xRateDistOptQuant analogue).
+RDOQ_MODEL = os.environ.get("HEVC_TPU_RDOQ", "lite")
+
 
 @functools.lru_cache(maxsize=None)
 def alpha(n: int, bit_depth: int = 8) -> float:
@@ -59,8 +65,19 @@ def _level_bits(l):
                             2.0 * jnp.log2(lf + 1.0) + 3.5)))
 
 
-def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8):
-    """RD-optimized quantization of [..., n, n] int32 coefficients."""
+def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8,
+                is_luma=True, init_type=None, ctx_qp=None):
+    """RD-optimized quantization of [..., n, n] int32 coefficients.
+
+    is_luma/init_type/ctx_qp select the context cost tables when
+    RDOQ_MODEL == "trellis" (ignored by the lite model). init_type
+    defaults to 0 (I slice) when is_intra else 1 (P slice)."""
+    if RDOQ_MODEL == "trellis":
+        from . import rdoq_trellis
+        return rdoq_trellis.rd_quantize_trellis(
+            coef, qp, lam, is_luma=is_luma, is_intra=is_intra,
+            init_type=(0 if is_intra else 1) if init_type is None
+            else init_type, ctx_qp=ctx_qp, bit_depth=bit_depth)
     n = coef.shape[-1]
     log2n = int(n).bit_length() - 1
     qbits = quant._qbits(qp, log2n, bit_depth)
@@ -103,8 +120,15 @@ def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8):
     return jnp.where(sign, -lv, lv)
 
 
-def rd_quantize_np(coef, qp, lam, *, is_intra=True, bit_depth=8):
+def rd_quantize_np(coef, qp, lam, *, is_intra=True, bit_depth=8,
+                   is_luma=True, init_type=None, ctx_qp=None):
     """NumPy twin for the golden encoder."""
+    if RDOQ_MODEL == "trellis":
+        from . import rdoq_trellis
+        return rdoq_trellis.rd_quantize_trellis_np(
+            coef, qp, lam, is_luma=is_luma, is_intra=is_intra,
+            init_type=(0 if is_intra else 1) if init_type is None
+            else init_type, ctx_qp=ctx_qp, bit_depth=bit_depth)
     coef = np.asarray(coef, np.int64)
     n = coef.shape[-1]
     log2n = int(n).bit_length() - 1

@@ -63,7 +63,8 @@ def _code_tu(orig, recon, coef_out, zmap, x0, y0, n, mode, qp, *,
     if rdoq:
         from ..ops import rdoq as rdoq_lib
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-        lvl = rdoq_lib.rd_quantize_np(coef[None], qp, lam)[0]
+        lvl = rdoq_lib.rd_quantize_np(coef[None], qp, lam,
+                                      is_luma=component == "luma")[0]
     else:
         lvl = quant.quantize_np(coef[None], qp)[0]
     coef_out[y0:y0 + n, x0:x0 + n] = lvl

@@ -24,7 +24,7 @@ from . import ldp as ldp_lib
 from . import search as search_lib
 
 
-def _tile_tu_transform(tiles, qp, tu: int, rdoq=True):
+def _tile_tu_transform(tiles, qp, tu: int, rdoq=True, is_luma=True):
     """[B, S, S] residual tiles -> (levels, recon_resi) per TU of size tu."""
     B, S, _ = tiles.shape
     g = S // tu
@@ -34,7 +34,8 @@ def _tile_tu_transform(tiles, qp, tu: int, rdoq=True):
     if rdoq:
         from ..ops import rdoq as rdoq_lib
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-        lvl = rdoq_lib.rd_quantize(cf, qp, lam, is_intra=False)
+        lvl = rdoq_lib.rd_quantize(cf, qp, lam, is_intra=False,
+                                   is_luma=is_luma)
     else:
         lvl = quant.quantize(cf, qp, is_intra=False)
     rr = transforms.inverse_transform(quant.dequantize(lvl, qp))
@@ -82,8 +83,8 @@ def encode_p_frame_device(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, *,
     resi_cr = tiles_of(jnp.asarray(cur_cr), 32) - pred_cr
 
     lvl_y, rr_y = _tile_tu_transform(resi_y, qp, 32)
-    lvl_cb, rr_cb = _tile_tu_transform(resi_cb, cqp, 16)
-    lvl_cr, rr_cr = _tile_tu_transform(resi_cr, cqp, 16)
+    lvl_cb, rr_cb = _tile_tu_transform(resi_cb, cqp, 16, is_luma=False)
+    lvl_cr, rr_cr = _tile_tu_transform(resi_cr, cqp, 16, is_luma=False)
 
     rec_y = jnp.clip(pred_y + rr_y, 0, 255)
     rec_cb = jnp.clip(pred_cb + rr_cb, 0, 255)

@@ -79,18 +79,25 @@ def _tu_transform(blocks, qp: int, tu: int, lam, use_rdoq: bool,
     """[N, s, s] residual blocks -> (levels, recon_residual, bits) with
     TUs of size `tu` tiled in place. bits [N] = syntax-aware CABAC rate
     estimate summed over the node's TUs (ops/bits.py)."""
-    from ..ops import bits as bits_lib
     N, s, _ = blocks.shape
     g = s // tu
     t = blocks.reshape(N, g, tu, g, tu).transpose(0, 1, 3, 2, 4)
     t = t.reshape(N * g * g, tu, tu)
     cf = transforms.forward_transform(t)
     if use_rdoq:
-        lvl = rdoq_lib.rd_quantize(cf, qp, lam, is_intra=False)
+        lvl = rdoq_lib.rd_quantize(cf, qp, lam, is_intra=False,
+                                   is_luma=is_luma)
     else:
         lvl = quant.quantize(cf, qp, is_intra=False)
     rr = transforms.inverse_transform(quant.dequantize(lvl, qp))
-    bits = bits_lib.tu_bits(lvl, is_luma=is_luma).reshape(N, g * g).sum(-1)
+    if search_lib.BIT_MODEL == "exact":
+        from ..ops import bits_exact
+        bits = bits_exact.tu_bits_exact(lvl, qp=int(qp), is_luma=is_luma,
+                                        init_type=1)
+    else:
+        from ..ops import bits as bits_lib
+        bits = bits_lib.tu_bits(lvl, is_luma=is_luma)
+    bits = bits.reshape(N, g * g).sum(-1)
 
     def back(x):
         x = x.reshape(N, g, g, tu, tu).transpose(0, 1, 3, 2, 4)

@@ -82,7 +82,8 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
     if rdoq:
         from ..ops import rdoq as rdoq_lib
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-        lvl = rdoq_lib.rd_quantize(cf, qp, lam)
+        lvl = rdoq_lib.rd_quantize(cf, qp, lam,
+                                   is_luma=component == "luma")
     else:
         lvl = quant.quantize(cf, qp)
     rresi = transforms.inverse_transform(quant.dequantize(lvl, qp),

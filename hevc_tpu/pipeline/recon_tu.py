@@ -181,8 +181,8 @@ def _code_class(planes_y, coef_y, planes_c, coef_c, orig_y, orig_cb, orig_cr,
         origc, _ = gather_block(orig_c, corg, cn)
         cfc = transforms.forward_transform(origc - predc)
         lamc = 0.57 * 2.0 ** ((cqp - 12) / 3.0)
-        lvlc = rdoq_lib.rd_quantize(cfc, cqp, lamc) if RDOQ_ON else \
-            quant.quantize(cfc, cqp)
+        lvlc = rdoq_lib.rd_quantize(cfc, cqp, lamc, is_luma=False) \
+            if RDOQ_ON else quant.quantize(cfc, cqp)
         rresc = transforms.inverse_transform(quant.dequantize(lvlc, cqp))
         recc = jnp.clip(predc + rresc, 0, 255)
         plane_c = scatter_block(plane_c, recc, corg, cn, act)

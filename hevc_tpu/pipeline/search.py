@@ -15,6 +15,7 @@ reconstruction path recomputes prediction from reconstructed samples).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -87,9 +88,20 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
     return (best_mode.reshape(B, nd), best_satd.reshape(B, nd))
 
 
-def _bits_estimate(levels, is_luma=True):
-    """Syntax-aware coefficient-rate estimate (ops/bits.py: calibrated
-    per-event CABAC costs). levels: [..., n, n] -> [...] float32."""
+#: coefficient-rate model for the RD leaf costs: "exact" = per-bin
+#: fractional-bit costs at slice-init context states (ops/bits_exact,
+#: the HM estBitsSbac analogue), "weights" = calibrated per-event-class
+#: costs (ops/bits, cheaper compile, ~12% mean error).
+BIT_MODEL = os.environ.get("HEVC_TPU_BIT_MODEL", "exact")
+
+
+def _bits_estimate(levels, qp, is_luma=True):
+    """Coefficient-rate estimate. levels: [..., n, n] -> [...] float32.
+    qp = slice QP (context-table selector; static under jit)."""
+    if BIT_MODEL == "exact":
+        from ..ops import bits_exact
+        return bits_exact.tu_bits_exact(levels, qp=int(qp),
+                                        is_luma=is_luma)
     from ..ops import bits as bits_lib
     return bits_lib.tu_bits(levels, is_luma=is_luma)
 
@@ -143,13 +155,14 @@ def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
     rec = jnp.clip(pred + rresi, 0, 255)
     d = (rec - orig).astype(jnp.float32)
     sse = (d * d).sum((-2, -1))
-    bits = _bits_estimate(lvl)
+    bits = _bits_estimate(lvl, qp)
     cost = sse + lam * bits
     return cost.reshape(B, nd, n_tu).sum(-1)
 
 
 def _refined_chroma_costs(c_plane, ctu_origins, depth, modes, cqp, lam,
-                          dist_w, *, pad_w, pad_h, n_ctu_x):
+                          dist_w, *, pad_w, pad_h, n_ctu_x,
+                          bits_qp=None):
     """Chroma-component leaf RD contribution per node: weighted SSE +
     lambda * bits of the DM-mode (= luma mode) chroma TB(s). Mirrors the
     reconstruction tiling (pipeline/recon.code_ctu): one TB of size
@@ -197,7 +210,8 @@ def _refined_chroma_costs(c_plane, ctu_origins, depth, modes, cqp, lam,
     rec = jnp.clip(pred + rresi, 0, 255)
     d = (rec - orig).astype(jnp.float32)
     sse = (d * d).sum((-2, -1))
-    bits = _bits_estimate(lvl, is_luma=False)
+    bits = _bits_estimate(lvl, cqp if bits_qp is None else bits_qp,
+                          is_luma=False)
     cost = dist_w * sse + lam * bits
     return cost.reshape(B, nd, n_tu).sum(-1)
 
@@ -324,7 +338,8 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                 for cp in (jnp.asarray(cb_plane), jnp.asarray(cr_plane)):
                     out = out + _refined_chroma_costs(
                         cp, ctu_origins, d, m, cqp, lam, dist_w,
-                        pad_w=pad_w, pad_h=pad_h, n_ctu_x=n_ctu_x)
+                        pad_w=pad_w, pad_h=pad_h, n_ctu_x=n_ctu_x,
+                        bits_qp=qp)
                 return out
 
             for d in range(4):
