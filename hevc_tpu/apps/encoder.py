@@ -65,7 +65,7 @@ def main(argv=None):
     thresholds = None
     if args.thr:
         from ..models import hcpm
-        order = "ldp" if run.mode == "ldp" else "ai"
+        order = "ldp" if run.mode in ("ldp", "ldb") else "ai"
         with open(args.thr) as f:
             thresholds = hcpm.parse_thresholds(f.read(), order=order)
 
@@ -99,7 +99,8 @@ def main(argv=None):
     else:
         from ..pipeline.pframe import LDPEncoder
         lstm = load_npz(args.lstm) if args.lstm else None
-        enc = LDPEncoder(cfg, lstm_params=lstm, thresholds=thresholds)
+        enc = LDPEncoder(cfg, lstm_params=lstm, thresholds=thresholds,
+                         slice_mode="B" if run.mode == "ldb" else "P")
         stream, recons = enc.encode(frames,
                                     with_hash_sei=not args.no_hash,
                                     rate_control=rc)
@@ -112,7 +113,8 @@ def main(argv=None):
 
     tot_bits = 8 * len(stream)
     for poc, (f, r) in enumerate(zip(frames, recons)):
-        st = "I" if (poc == 0 or run.mode == "ai") else "P"
+        st = ("I" if (poc == 0 or run.mode == "ai")
+              else "B" if run.mode == "ldb" else "P")
         print(f"POC {poc:4d} ( {st}-SLICE, QP {cfg.qp:2d} ) "
               f"[Y {psnr(f.y, r.y):7.4f} dB  U {psnr(f.cb, r.cb):7.4f} dB"
               f"  V {psnr(f.cr, r.cr):7.4f} dB]")

@@ -54,7 +54,8 @@ class RunSettings:
     frame_rate: float = 30.0
     intra_period: int = 1
     gop_size: int = 1
-    mode: str = "ai"            # "ai" (IntraPeriod 1) or "ldp"
+    mode: str = "ai"            # "ai" (IntraPeriod 1), "ldp", or "ldb"
+                                # (GOP rows typed B -> low-delay B slices)
     rc_target_bps: float = 0.0  # RateControl: 1 + TargetBitrate
     unknown: Dict[str, str] = field(default_factory=dict)
 
@@ -100,17 +101,24 @@ def load_encoder_config(paths: List[str],
 
     intra_period = geti("IntraPeriod", 1)
     gop_size = geti("GOPSize", 1)
-    mode = "ai" if intra_period == 1 else "ldp"
 
     # GOP table: FrameN rows "Type POC QPoffset QPfactor ..."
     qp_offsets = []
+    gop_types = []
     for i in range(1, gop_size + 1):
         row = opts.get(f"Frame{i}")
         if row:
             parts = row.split()
             if len(parts) >= 3:
+                gop_types.append(parts[0].upper())
                 qp_offsets.append(int(parts[2]))
-    if mode == "ldp" and len(qp_offsets) != gop_size:
+    if intra_period == 1:
+        mode = "ai"
+    elif gop_types and all(t == "B" for t in gop_types):
+        mode = "ldb"          # low-delay B (encoder_lowdelay_main.cfg)
+    else:
+        mode = "ldp"
+    if mode in ("ldp", "ldb") and len(qp_offsets) != gop_size:
         qp_offsets = [3, 2, 3, 1][:max(gop_size, 1)]
 
     cfg = EncoderConfig(

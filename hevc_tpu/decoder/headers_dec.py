@@ -164,7 +164,7 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
         r.u(1)                  # no_output_of_prior_pics
     r.ue()                      # slice_pic_parameter_set_id
     sh.slice_type = r.ue()
-    assert sh.slice_type in (1, 2), f"slice type {sh.slice_type}"
+    assert sh.slice_type in (0, 1, 2), f"slice type {sh.slice_type}"
     if not is_idr:
         sh.poc_lsb = r.u(sps.log2_max_poc_lsb)
         assert r.u(1) == 0      # short_term_ref_pic_set_sps_flag
@@ -177,8 +177,10 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
     if sps.sao:
         sh.sao_luma = bool(r.u(1))
         sh.sao_chroma = bool(r.u(1))
-    if sh.slice_type == 1:
+    if sh.slice_type in (0, 1):
         assert r.u(1) == 0      # num_ref_idx_active_override
+        if sh.slice_type == 0:
+            r.u(1)              # mvd_l1_zero_flag
         sh.max_merge_cand = 5 - r.ue()
     sh.qp = pps.init_qp + r.se()
     if not pps.deblock_disabled or sps.sao:

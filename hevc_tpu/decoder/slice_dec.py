@@ -284,15 +284,19 @@ class ISliceDecoder:
 # ---------------------------------------------------------------------------
 
 class PSliceDecoder:
-    """Parses one P-slice payload (single-ref LDP toolset)."""
+    """Parses one P- or low-delay-B-slice payload (single-ref toolset).
+    B slices (is_b=True) carry inter_pred_idc per PU; with both lists
+    holding the same previous picture, L1/bi motion reconstructs
+    identically to L0 (bi rounding of equal inputs == uni rounding)."""
 
-    def __init__(self, sps, qp: int, sao_on: bool):
+    def __init__(self, sps, qp: int, sao_on: bool, is_b: bool = False):
         self.W = sps.pad_width
         self.H = sps.pad_height
         self.nx = sps.ctus_x
         self.ny = sps.ctus_y
         self.qp = qp
         self.sao_on = sao_on
+        self.is_b = is_b
         self.zmap = zorder.frame_zmap(self.W, self.H)
 
     def decode(self, data: bytes):
@@ -304,7 +308,8 @@ class PSliceDecoder:
         self.coef_cb = np.zeros((H >> 1, W >> 1), np.int32)
         self.coef_cr = np.zeros((H >> 1, W >> 1), np.int32)
 
-        self.ctx = ContextModels(init_type=1, qp=self.qp)
+        self.ctx = ContextModels(init_type=2 if self.is_b else 1,
+                                 qp=self.qp)
         self.dec = CabacDecoder(data)
         n_ctu = self.nx * self.ny
         sao = _empty_sao(n_ctu) if self.sao_on else None
@@ -390,6 +395,11 @@ class PSliceDecoder:
             # rqt_root_cbf inferred 1 (7.3.8.5, 2Nx2N merge)
             self._transform_tree(x0, y0, size)
             return
+        if self.is_b:
+            depth = 6 - (size.bit_length() - 1)
+            bi = dec.decode_bin(ctx, ctx.idx("inter_dir", depth))
+            assert bi == 0, "bi-pred AMVP PUs not in toolset"
+            dec.decode_bin(ctx, ctx.idx("inter_dir", 4))  # L0/L1: same ref
         has_x = dec.decode_bin(ctx, ctx.idx("mvd", 0))
         has_y = dec.decode_bin(ctx, ctx.idx("mvd", 0))
         gt1_x = dec.decode_bin(ctx, ctx.idx("mvd", 1)) if has_x else 0

@@ -91,8 +91,9 @@ def decode_annexb(stream: bytes) -> DecodeResult:
                 inter_pic = False
             else:
                 assert prev_rec is not None, "P slice without reference"
-                dec = slice_dec.PSliceDecoder(sps, sh.qp, sao_on).decode(
-                    sh.data)
+                dec = slice_dec.PSliceDecoder(
+                    sps, sh.qp, sao_on,
+                    is_b=sh.slice_type == 0).decode(sh.data)
                 rec = recon_dec.recon_inter_frame(dec, prev_rec, W, H,
                                                   sh.qp)
                 inter_pic = True

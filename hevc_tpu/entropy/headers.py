@@ -244,3 +244,31 @@ def start_p_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
 def finish_p_slice_nal(bw: BitWriter) -> bytes:
     from .bitstream import NAL_TRAIL_R
     return nal_unit(NAL_TRAIL_R, bw.get_bytes())
+
+
+def start_b_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
+    """Slice header for a one-slice low-delay B picture: both reference
+    lists hold the previous frame (single negative RPS entry), uni-L0
+    prediction per PU. Matches the reference's LDB operating point
+    (cfg/encoder_lowdelay_main.cfg) with 1 active ref per list."""
+    bw = BitWriter()
+    bw.u(1, 1)        # first_slice_segment_in_pic_flag
+    bw.ue(0)          # slice_pic_parameter_set_id
+    bw.ue(0)          # slice_type = B
+    bw.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb
+    bw.u(0, 1)        # short_term_ref_pic_set_sps_flag
+    bw.ue(1)          # num_negative_pics
+    bw.ue(0)          # num_positive_pics
+    bw.ue(0)          # delta_poc_s0_minus1 (= previous picture)
+    bw.u(1, 1)        # used_by_curr_pic_s0_flag
+    if cfg.sao:
+        bw.u(1, 1)    # slice_sao_luma_flag
+        bw.u(1, 1)    # slice_sao_chroma_flag
+    bw.u(0, 1)        # num_ref_idx_active_override_flag
+    bw.u(1, 1)        # mvd_l1_zero_flag (no L1 MVDs are ever coded)
+    bw.ue(0)          # five_minus_max_num_merge_cand (MaxNumMergeCand = 5)
+    bw.se(slice_qp - cfg.qp)  # slice_qp_delta
+    if cfg.deblock or cfg.sao:
+        bw.u(1, 1)    # slice_loop_filter_across_slices_enabled_flag
+    bw.align_one_then_zero()
+    return bw

@@ -105,9 +105,14 @@ def merge_candidates(mvq8, x0, y0, size, pad_w, pad_h, zmap):
 
 
 class PSliceEncoder:
-    def __init__(self, cfg, frame_qp: int):
+    """Inter-slice CABAC syntax writer. slice_type 'P' (default) or 'B':
+    the low-delay B variant codes the same uni-L0 motion but signals
+    inter_pred_idc per PU and initialises contexts with initType 2."""
+
+    def __init__(self, cfg, frame_qp: int, slice_type: str = "P"):
         self.cfg = cfg
         self.qp = frame_qp
+        self.is_b = slice_type == "B"
 
     def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                sao=None):
@@ -120,7 +125,7 @@ class PSliceEncoder:
         self.H = self.cfg.pad_height
         self.zmap = zorder.frame_zmap(self.W, self.H)
 
-        ctx = ContextModels(init_type=1, qp=self.qp)   # P-slice init
+        ctx = ContextModels(init_type=2 if self.is_b else 1, qp=self.qp)
         enc = CabacEncoder(bw)
         self.ctx = ctx
         self.enc = enc
@@ -218,7 +223,13 @@ class PSliceEncoder:
             # rqt_root_cbf inferred 1 for 2Nx2N merge (7.3.8.5)
             self._transform_tree(x0, y0, size, cbf_cb, cbf_cr)
             return
-        # (P slice, 1 active ref: no inter_pred_idc, no ref_idx)
+        if self.is_b:
+            # inter_pred_idc = PRED_L0 (9.3.3.7: bin0 "bi?" at ctx
+            # CtDepth, bin1 "L1?" at ctx 4)
+            depth = 6 - (size.bit_length() - 1)
+            enc.encode_bin(ctx, ctx.idx("inter_dir", depth), 0)
+            enc.encode_bin(ctx, ctx.idx("inter_dir", 4), 0)
+        # (1 active ref per list: no ref_idx)
         mvp = amvp_cand0(self.mvq8, x0, y0, size, size, self.W, self.H,
                          self.zmap)
         mvd = (mv[0] - mvp[0], mv[1] - mvp[1])

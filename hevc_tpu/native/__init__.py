@@ -75,15 +75,16 @@ def encode_slice_data(depth8, modes8, coef_y, coef_cb, coef_cr,
 
 
 def encode_slice_data_p(depth8, mvq8, coef_y, coef_cb, coef_cr,
-                        pad_w: int, pad_h: int, qp: int) -> bytes:
-    """CABAC-encode a P slice's data (native)."""
+                        pad_w: int, pad_h: int, qp: int,
+                        is_b: bool = False) -> bytes:
+    """CABAC-encode a P (or low-delay B) slice's data (native)."""
     lib = load()
     if not hasattr(lib, "_p_configured"):
         lib.hevc_encode_slice_p.restype = ctypes.c_int
         lib.hevc_encode_slice_p.argtypes = [
             ctypes.POINTER(ctypes.c_int32)] * 5 + [
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
         lib._p_configured = True
 
     def as_i32(a):
@@ -100,7 +101,7 @@ def encode_slice_data_p(depth8, mvq8, coef_y, coef_cb, coef_cr,
 
     n = lib.hevc_encode_slice_p(ptr(d8), ptr(mv), ptr(cy), ptr(cb), ptr(cr),
                                 pad_w, pad_h, qp,
-                                ptr(out, ctypes.c_uint8), cap)
+                                ptr(out, ctypes.c_uint8), cap, int(is_b))
     if n < 0:
         raise RuntimeError("hevc_encode_slice_p failed")
     return out[:n].tobytes()

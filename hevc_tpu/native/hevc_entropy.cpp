@@ -160,6 +160,22 @@ static const uint8_t kInitP[NUM_CTX] = {
   79
 };
 
+// B-slice (initType 2) init values (entropy/contexts.py rows[2]).
+static const uint8_t kInitB[NUM_CTX] = {
+  153,160,107,139,126,154,197,185,201,154,137,154,139,154,154,134,
+  183,152,139,95,79,63,31,31,169,198,153,153,154,154,154,153,
+  111,154,154,154,149,92,167,154,154,224,167,122,121,140,61,154,
+  170,154,139,153,139,123,123,63,124,166,183,140,136,153,154,166,
+  183,140,136,153,154,166,183,140,136,153,154,140,170,153,138,138,
+  122,121,122,121,167,151,183,140,151,183,140,140,125,110,124,110,
+  95,94,125,111,111,79,125,126,111,111,79,108,123,93,154,154,
+  154,154,154,154,154,154,154,154,154,154,125,110,124,110,95,94,
+  125,111,111,79,125,126,111,111,79,108,123,93,154,154,154,154,
+  154,154,154,154,154,154,154,154,154,196,167,167,154,152,167,182,
+  182,134,149,136,153,121,136,122,169,208,166,167,154,152,167,182,
+  107,167,91,107,107,167,168,139,139,154,154,79
+};
+
 static const int kCtxIndMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
 static const int kMinInGroup[10] = {0,1,2,3,4,6,8,12,16,24};
 static const int kGroupIdx[32] = {0,1,2,3,4,4,5,5,6,6,6,6,7,7,7,7,
@@ -688,6 +704,7 @@ struct PSliceEnc {
   const int32_t *depth8, *mvq8, *coef_y, *coef_cb, *coef_cr;
   int W, H, W8, Wc, n_ctu_x;
   std::vector<uint8_t> skip8;  // coded-CU skip flags, 8x8 granularity
+  bool is_b = false;           // low-delay B: code inter_pred_idc per PU
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
   void mv_at(int x, int y, int mv[2]) const {
@@ -859,6 +876,13 @@ struct PSliceEnc {
       transform_tree(x0, y0, size, ccb, ccr);
       return;
     }
+    if (is_b) {
+      // inter_pred_idc = PRED_L0 (bin0 "bi?" at ctx CtDepth, bin1 "L1?")
+      int depth = 0;
+      for (int s = size; s < 64; s <<= 1) ++depth;
+      c.bin(CTX_INTER_DIR + depth, 0);
+      c.bin(CTX_INTER_DIR + 4, 0);
+    }
     int mvp[2];
     amvp0(x0, y0, size, size, mvp);
     int mvd[2] = {mv[0] - mvp[0], mv[1] - mvp[1]};
@@ -909,12 +933,14 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
                                    const int32_t* coef_cb,
                                    const int32_t* coef_cr,
                                    int pad_w, int pad_h, int qp,
-                                   uint8_t* out, int out_cap) {
+                                   uint8_t* out, int out_cap,
+                                   int is_b) {
   BitWriter bw;
-  Cabac cab(bw, qp, kInitP);
+  Cabac cab(bw, qp, is_b ? kInitB : kInitP);
   PSliceEnc se{cab, depth8, mvq8, coef_y, coef_cb, coef_cr,
                pad_w, pad_h, pad_w / 8, pad_w / 2, (pad_w + 63) / 64,
-               std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0)};
+               std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0),
+               is_b != 0};
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
   int n_ctu = nx * ny;
   for (int ci = 0; ci < n_ctu; ++ci) {

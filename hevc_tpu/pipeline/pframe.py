@@ -113,12 +113,14 @@ class LDPEncoder:
 
     def __init__(self, cfg, cnn_params=None, lstm_params=None,
                  thresholds=None, tree: str = "full",
-                 use_gop_qp: bool = True):
+                 use_gop_qp: bool = True, slice_mode: str = "P"):
         assert cfg.pad_width % 64 == 0 and cfg.pad_height % 64 == 0, \
             "LDP requires CTU-aligned dims"
+        assert slice_mode in ("P", "B")
         self.cfg = cfg
         self.tree = tree
         self.use_gop_qp = use_gop_qp
+        self.slice_mode = slice_mode  # "B" = low-delay B operating point
         from .ai import AIEncoder
         from . import ldp as ldp_mod, psearch as psearch_mod
         self.intra = AIEncoder(cfg, cnn_params=cnn_params)
@@ -253,7 +255,9 @@ class LDPEncoder:
                                 np.asarray(cb_).astype(np.uint8),
                                 np.asarray(cr_).astype(np.uint8))
 
-                bw = headers.start_p_slice(cfg, frame_qp, poc)
+                bw = (headers.start_b_slice(cfg, frame_qp, poc)
+                      if self.slice_mode == "B"
+                      else headers.start_p_slice(cfg, frame_qp, poc))
                 chunks.append(self._p_slice_nal(
                     bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
                     sao_params))
@@ -280,12 +284,13 @@ class LDPEncoder:
                 from .. import native
                 data = native.encode_slice_data_p(
                     depth8, mvq8, coef_y, coef_cb, coef_cr,
-                    cfg.pad_width, cfg.pad_height, frame_qp)
+                    cfg.pad_width, cfg.pad_height, frame_qp,
+                    is_b=self.slice_mode == "B")
                 from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
                 return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
             except Exception:
                 pass
-        pse = PSliceEncoder(cfg, frame_qp)
+        pse = PSliceEncoder(cfg, frame_qp, slice_type=self.slice_mode)
         pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                    sao=sao_params)
         return headers.finish_p_slice_nal(bw)

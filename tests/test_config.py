@@ -38,3 +38,13 @@ def test_missing_dims_raises(tmp_path):
     p.write_text("QP : 30\n")
     with pytest.raises(ValueError, match="SourceWidth"):
         load_encoder_config([str(p)])
+
+
+LDB_CFG = f"{REF}/HM-16.5_Test_LDP/cfg/encoder_lowdelay_main.cfg"
+
+
+@pytest.mark.skipif(not os.path.exists(LDB_CFG), reason="reference absent")
+def test_reference_ldb_operating_point():
+    cfg, run = load_encoder_config([SRC_CFG, LDB_CFG])
+    assert run.mode == "ldb" and run.gop_size == 4
+    assert cfg.gop_qp_offsets == (3, 2, 3, 1)

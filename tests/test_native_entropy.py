@@ -87,3 +87,46 @@ def test_native_p_slice_matches_python():
     c_bytes = native.encode_slice_data_p(
         depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, cfg.qp)
     assert c_bytes == py_bytes
+
+
+def test_native_b_slice_matches_python():
+    """Native low-delay-B CABAC == Python PSliceEncoder(slice_type='B')."""
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    cfg = headers.EncoderConfig(width=128, height=64, qp=30)
+    W, H = cfg.pad_width, cfg.pad_height
+
+    depth8 = np.zeros((H // 8, W // 8), np.int32)
+    mvq8 = np.zeros((H // 8, W // 8, 2), np.int32)
+
+    def rand_tree(y, x, size, depth):
+        if depth < 3 and rng.rand() < 0.5:
+            h = size // 2
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                rand_tree(y + dy, x + dx, h, depth + 1)
+        else:
+            depth8[y // 8:(y + size) // 8, x // 8:(x + size) // 8] = depth
+            mv = rng.randint(-24, 25, 2)
+            mvq8[y // 8:(y + size) // 8, x // 8:(x + size) // 8] = mv
+
+    for cy in range(H // 64):
+        for cx in range(W // 64):
+            rand_tree(cy * 64, cx * 64, 64, 0)
+
+    coef_y = (rng.randint(-4, 5, (H, W)) *
+              (rng.rand(H, W) < 0.1)).astype(np.int32)
+    coef_cb = (rng.randint(-3, 4, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.08)).astype(np.int32)
+    coef_cr = np.zeros((H // 2, W // 2), np.int32)
+
+    bw = headers.start_b_slice(cfg, cfg.qp, 1)
+    hl = len(bw.get_bytes())
+    pse = PSliceEncoder(cfg, cfg.qp, slice_type="B")
+    pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr)
+    py_bytes = bw.get_bytes()[hl:]
+
+    c_bytes = native.encode_slice_data_p(
+        depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, cfg.qp, is_b=True)
+    assert c_bytes == py_bytes
