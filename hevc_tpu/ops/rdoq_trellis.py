@@ -77,14 +77,27 @@ def rd_quantize_trellis(coef, qp: int, lam, *, is_luma=True, init_type=0,
     qp/lam quantize and weigh; ctx_qp (default qp) selects the frozen
     context-state cost tables (HM keys estBitsSbac off the slice QP).
     Returns signed levels, same shape/dtype int32.
+
+    Wrapped in an inner jit: call sites inside big traced programs (the
+    85-node recon DFS makes ~hundreds of them) share ONE compiled body
+    per (shape, statics) instead of inlining it — measured ~2x compile
+    time/memory on call-heavy modules.
     """
-    coef = jnp.asarray(coef)
+    return _rd_quantize_trellis_jit(
+        jnp.asarray(coef), int(qp), float(lam), bool(is_luma),
+        int(init_type), bool(is_intra),
+        int(qp if ctx_qp is None else ctx_qp), int(bit_depth),
+        int(scan_type))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _rd_quantize_trellis_jit(coef, qp, lam, is_luma, init_type,
+                             is_intra, ctx_qp, bit_depth, scan_type):
     n = coef.shape[-1]
     nn = n * n
     batch = coef.shape[:-2]
     log2n = int(n).bit_length() - 1
-    t = _tables(n, scan_type, is_luma, int(qp if ctx_qp is None
-                                            else ctx_qp), init_type)
+    t = _tables(n, scan_type, is_luma, ctx_qp, init_type)
     ncg = t["ncg"]
     scan = jnp.asarray(t["scan"])
 
