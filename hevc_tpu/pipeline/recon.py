@@ -52,6 +52,35 @@ def node_table():
     return np.array(nodes, np.int32)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _tu_core(r, avail, orig, mode, n, component, qp, rdoq, use_dst):
+    """Predict -> transform -> quantize -> reconstruct one TB.
+
+    Inner-jitted on purpose: the unrolled 85-node CTU DFS makes ~520
+    per-TU calls per CTU trace (NxN adds 4 per depth-3 CU); sharing one
+    compiled body per (n, component, qp) instead of inlining each copy
+    cuts XLA/LLVM compile time and memory roughly in half."""
+    r = intra.substitute_refs(r[None], avail[None])[0]
+    if component == "luma":
+        r_use = intra.select_filtered(r, intra.filter_refs(r), mode, n)
+    else:
+        r_use = r
+    pred = intra.predict_one_mode(r_use, mode, n, component=component)
+    resi = orig.astype(jnp.int32) - pred
+    cf = transforms.forward_transform(resi, use_dst=use_dst)
+    if rdoq:
+        from ..ops import rdoq as rdoq_lib
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lvl = rdoq_lib.rd_quantize(cf, qp, lam,
+                                   is_luma=component == "luma")
+    else:
+        lvl = quant.quantize(cf, qp)
+    rresi = transforms.inverse_transform(quant.dequantize(lvl, qp),
+                                         use_dst=use_dst)
+    rec = jnp.clip(pred + rresi, 0, 255)
+    return lvl, rec
+
+
 def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
              component, g_origin, pad_w, pad_h, n_ctu_x, scale,
              rdoq=True, use_dst=False):
@@ -68,27 +97,9 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
 
     origin = (g_origin + jnp.stack([jnp.int32(x0), jnp.int32(y0)]))[None]
     avail = refs.availability(origin, n, pad_w, pad_h, n_ctu_x, scale)[0]
-    r = intra.substitute_refs(r[None], avail[None])[0]
-
-    if component == "luma":
-        r_use = intra.select_filtered(r, intra.filter_refs(r), mode, n)
-    else:
-        r_use = r
-
-    pred = intra.predict_one_mode(r_use, mode, n, component=component)
     orig = orig_tile[y0:y0 + n, x0:x0 + n]
-    resi = orig.astype(jnp.int32) - pred
-    cf = transforms.forward_transform(resi, use_dst=use_dst)
-    if rdoq:
-        from ..ops import rdoq as rdoq_lib
-        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-        lvl = rdoq_lib.rd_quantize(cf, qp, lam,
-                                   is_luma=component == "luma")
-    else:
-        lvl = quant.quantize(cf, qp)
-    rresi = transforms.inverse_transform(quant.dequantize(lvl, qp),
-                                         use_dst=use_dst)
-    rec = jnp.clip(pred + rresi, 0, 255)
+    lvl, rec = _tu_core(r, avail, orig, mode, n, component, qp, rdoq,
+                        use_dst)
 
     old_coef = coef[y0:y0 + n, x0:x0 + n]
     coef = jax.lax.dynamic_update_slice(

@@ -66,8 +66,11 @@ def main():
     if not args.no_hm:
         import numpy as np
         res["hm"] = hm_r
-        res["bd_rate_vs_hm"] = bdrate.bd_rate(
-            hm_r["bits"], hm_r["psnr"], ours["bits"], ours["psnr"])
+        try:
+            res["bd_rate_vs_hm"] = bdrate.bd_rate(
+                hm_r["bits"], hm_r["psnr"], ours["bits"], ours["psnr"])
+        except Exception as e:          # single-QP runs: curves can't overlap
+            res["bd_rate_error"] = str(e)
         res["speedup_vs_hm"] = float(np.sum(hm_r["time"])
                                      / np.sum(ours["time"]))
     for i, qp in enumerate(res["qps"]):
