@@ -88,11 +88,15 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
     return (best_mode.reshape(B, nd), best_satd.reshape(B, nd))
 
 
-#: coefficient-rate model for the RD leaf costs: "exact" = per-bin
-#: fractional-bit costs at slice-init context states (ops/bits_exact,
-#: the HM estBitsSbac analogue), "weights" = calibrated per-event-class
-#: costs (ops/bits, cheaper compile, ~12% mean error).
-BIT_MODEL = os.environ.get("HEVC_TPU_BIT_MODEL", "exact")
+#: coefficient-rate model for the RD leaf costs: "weights" = calibrated
+#: per-event-class costs (ops/bits), "exact" = per-bin fractional-bit
+#: costs at slice-init context states (ops/bits_exact, the HM
+#: estBitsSbac analogue). Measured QP22-37 A/B on the synthetic eval:
+#: weights -14.9% BD-rate vs HM, exact -13.1% — the frozen *init*
+#: states overprice bins relative to adapted reality, so the
+#: empirically calibrated costs make better RD decisions until the
+#: exact tables are re-derived from adapted states (ROADMAP).
+BIT_MODEL = os.environ.get("HEVC_TPU_BIT_MODEL", "weights")
 
 
 def _bits_estimate(levels, qp, is_luma=True):
