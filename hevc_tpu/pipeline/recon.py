@@ -81,6 +81,32 @@ def _tu_core(r, avail, orig, mode, n, component, qp, rdoq, use_dst):
     return lvl, rec
 
 
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _tu_window_core(win, cwin, orig, mode, leaf, origin,
+                    n, component, qp, rdoq, use_dst, grid):
+    """Code one TB on its local [2n+1, 2n+1] context window (interior at
+    [1:n+1, 1:n+1]); cwin = its [n, n] coefficient window. origin =
+    traced [2] global sample coords; grid = (pad_w, pad_h, n_ctu_x,
+    scale) statics.
+
+    Inner-jitted so the ~520 per-TU call sites of the unrolled CTU DFS
+    share one compiled body per (n, component, qp) class — without it
+    whole-frame recon compiles cost ~880 s / 10.6 GB on CPU."""
+    pad_w, pad_h, n_ctu_x, scale = grid
+    left_col = win[1:1 + 2 * n, 0]
+    top_row = win[0, 0:2 * n + 1]
+    r = jnp.concatenate([left_col[::-1], top_row])  # [4n+1] linear layout
+
+    avail = refs.availability(origin[None], n, pad_w, pad_h, n_ctu_x,
+                              scale)[0]
+    lvl, rec = _tu_core(r, avail, orig, mode, n, component, qp, rdoq,
+                        use_dst)
+    cwin = jnp.where(leaf, lvl, cwin)
+    win = win.at[1:1 + n, 1:1 + n].set(
+        jnp.where(leaf, rec, win[1:1 + n, 1:1 + n]))
+    return win, cwin
+
+
 def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
              component, g_origin, pad_w, pad_h, n_ctu_x, scale,
              rdoq=True, use_dst=False):
@@ -89,24 +115,20 @@ def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
 
     x0/y0 are STATIC ints (the node table is unrolled at trace time), so
     every slice below lowers to a static slice/update — no dynamic
-    addressing on the hot path."""
+    addressing on the hot path. The compute happens in _tu_window_core
+    on a local window so XLA compiles one shared body per TB class."""
     # y0 + 2n <= S + n <= 2S and x0 + 2n + 1 <= 2S + 1: always in bounds
-    left_col = ext[y0 + 1:y0 + 1 + 2 * n, x0]
-    top_row = ext[y0, x0:x0 + 2 * n + 1]
-    r = jnp.concatenate([left_col[::-1], top_row])  # [4n+1] linear layout
-
-    origin = (g_origin + jnp.stack([jnp.int32(x0), jnp.int32(y0)]))[None]
-    avail = refs.availability(origin, n, pad_w, pad_h, n_ctu_x, scale)[0]
+    w = 2 * n + 1
+    win = ext[y0:y0 + w, x0:x0 + w]
+    cwin = coef[y0:y0 + n, x0:x0 + n]
     orig = orig_tile[y0:y0 + n, x0:x0 + n]
-    lvl, rec = _tu_core(r, avail, orig, mode, n, component, qp, rdoq,
-                        use_dst)
-
-    old_coef = coef[y0:y0 + n, x0:x0 + n]
-    coef = jax.lax.dynamic_update_slice(
-        coef, jnp.where(leaf, lvl, old_coef), (y0, x0))
-    old_rec = ext[y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n]
-    ext = jax.lax.dynamic_update_slice(
-        ext, jnp.where(leaf, rec, old_rec), (y0 + 1, x0 + 1))
+    origin = (jnp.asarray(g_origin, jnp.int32)
+              + jnp.asarray([x0, y0], jnp.int32))
+    win, cwin = _tu_window_core(
+        win, cwin, orig, mode, leaf, origin, n, component, qp, bool(rdoq),
+        bool(use_dst), (pad_w, pad_h, n_ctu_x, scale))
+    ext = ext.at[y0:y0 + w, x0:x0 + w].set(win)
+    coef = coef.at[y0:y0 + n, x0:x0 + n].set(cwin)
     return ext, coef
 
 
