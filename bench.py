@@ -61,14 +61,34 @@ def bench_predictor():
 
 
 def main():
+    """Hard internal deadline (round-1 lesson: the driver killed a cold
+    compile with rc=124 and captured nothing). The full-encoder bench
+    gets budget minus a reserve; on SIGALRM/any failure we still emit a
+    real JSON line from the cheap predictor bench."""
+    import signal
+
+    budget = float(os.environ.get("HEVC_TPU_BENCH_BUDGET_S", "1320"))
+    reserve = 240.0  # time kept for the fallback predictor bench
+
+    class _Deadline(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Deadline()
+
     result = None
     try:
-        from hevc_tpu.pipeline import bench_hooks  # full-encoder bench, if wired
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(max(60.0, budget - reserve)))
+        from hevc_tpu.pipeline import bench_hooks
         result = bench_hooks.bench_encode_1080p()
-    except Exception:
+    except BaseException:
         result = None
+    finally:
+        signal.alarm(0)
     if result is None:
         result = bench_predictor()
+        result["note"] = "fallback: full-encoder bench missed the deadline"
     print(json.dumps(result))
 
 

@@ -112,10 +112,11 @@ def main(argv=None):
         write_yuv420(run.recon_file, recons)
 
     tot_bits = 8 * len(stream)
+    frame_qps = getattr(enc, "frame_qps", None) or [cfg.qp] * len(frames)
     for poc, (f, r) in enumerate(zip(frames, recons)):
         st = ("I" if (poc == 0 or run.mode == "ai")
               else "B" if run.mode == "ldb" else "P")
-        print(f"POC {poc:4d} ( {st}-SLICE, QP {cfg.qp:2d} ) "
+        print(f"POC {poc:4d} ( {st}-SLICE, QP {frame_qps[poc]:2d} ) "
               f"[Y {psnr(f.y, r.y):7.4f} dB  U {psnr(f.cb, r.cb):7.4f} dB"
               f"  V {psnr(f.cr, r.cr):7.4f} dB]")
     kbps = tot_bits * run.frame_rate / max(len(frames), 1) / 1000.0

@@ -102,9 +102,11 @@ def load_encoder_config(paths: List[str],
     intra_period = geti("IntraPeriod", 1)
     gop_size = geti("GOPSize", 1)
 
-    # GOP table: FrameN rows "Type POC QPoffset QPfactor ..."
+    # GOP table: FrameN rows "Type POC QPoffset QPfactor tcOff betaOff
+    # tid #ref_pics_active #ref_pics refPics..."
     qp_offsets = []
     gop_types = []
+    ref_actives = []
     for i in range(1, gop_size + 1):
         row = opts.get(f"Frame{i}")
         if row:
@@ -112,6 +114,11 @@ def load_encoder_config(paths: List[str],
             if len(parts) >= 3:
                 gop_types.append(parts[0].upper())
                 qp_offsets.append(int(parts[2]))
+            if len(parts) >= 8:
+                try:
+                    ref_actives.append(int(parts[7]))
+                except ValueError:
+                    pass
     if intra_period == 1:
         mode = "ai"
     elif gop_types and all(t == "B" for t in gop_types):
@@ -121,6 +128,11 @@ def load_encoder_config(paths: List[str],
     if mode in ("ldp", "ldb") and len(qp_offsets) != gop_size:
         qp_offsets = [3, 2, 3, 1][:max(gop_size, 1)]
 
+    # active reference pictures: the GOP table's #ref_pics_active column
+    # (reference LDP/LDB cfgs ship 4); our RPS uses the nearest n
+    # previous pictures rather than HM's staggered  -1 -5 -9 -13 layout
+    num_refs = (max(ref_actives) if ref_actives else
+                (4 if intra_period != 1 else 1))
     cfg = EncoderConfig(
         width=width, height=height, qp=geti("QP", 32),
         deblock=geti("LoopFilterDisable", 0) == 0,
@@ -128,6 +140,7 @@ def load_encoder_config(paths: List[str],
         rdoq=geti("RDOQ", 1) != 0,
         level_idc=_level_idc(opts.get("Level", "4")),
         gop_qp_offsets=tuple(qp_offsets) if qp_offsets else (3, 2, 3, 1),
+        num_refs=(num_refs if intra_period != 1 else 1),
     )
     run = RunSettings(
         input_file=opts.get("InputFile", ""),

@@ -74,6 +74,16 @@ def pad_frame(frame: Frame, pad_w: int, pad_h: int, mode: str = "edge"):
                  pad(frame.cr, pad_w // 2, pad_h // 2))
 
 
+def crop_frame(frame: Frame, width: int, height: int):
+    """Crop a (padded) reconstruction back to the conformance window —
+    the decoder-output view of the picture (7.4.3.2.1)."""
+    if frame.y.shape == (height, width):
+        return frame
+    return Frame(np.ascontiguousarray(frame.y[:height, :width]),
+                 np.ascontiguousarray(frame.cb[:height // 2, :width // 2]),
+                 np.ascontiguousarray(frame.cr[:height // 2, :width // 2]))
+
+
 def extract_ctus(luma: np.ndarray, ctu: int = 64) -> np.ndarray:
     """[H, W] -> [nCTU, ctu, ctu] raster-ordered CTU batch (zero-padded)."""
     h, w = luma.shape

@@ -108,6 +108,7 @@ class Pps:
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     sign_data_hiding: bool = False
+    num_ref_l0_default: int = 1
 
 
 def parse_pps(rbsp: bytes) -> Pps:
@@ -119,7 +120,8 @@ def parse_pps(rbsp: bytes) -> Pps:
     r.u(3)                      # num_extra_slice_header_bits
     pps.sign_data_hiding = bool(r.u(1))
     assert r.u(1) == 0          # cabac_init_present
-    r.ue(); r.ue()              # num_ref_idx defaults
+    pps.num_ref_l0_default = r.ue() + 1
+    r.ue()                      # num_ref_idx_l1_default
     pps.init_qp = 26 + r.se()
     r.u(1)                      # constrained_intra_pred
     assert r.u(1) == 0, "transform_skip unsupported"
@@ -151,6 +153,8 @@ class SliceHeader:
     sao_luma: bool = False
     sao_chroma: bool = False
     max_merge_cand: int = 5
+    ref_deltas: tuple = ()       # POC deltas (>0) of RefPicList0 entries
+    n_active_refs: int = 1       # num_ref_idx_l0_active
     data: bytes = b""            # CABAC slice payload (byte-aligned)
 
 
@@ -170,22 +174,37 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
         assert r.u(1) == 0      # short_term_ref_pic_set_sps_flag
         neg = r.ue()
         pos = r.ue()
-        assert neg == 1 and pos == 0, "single-ref RPS only"
-        delta = r.ue()          # delta_poc_s0_minus1
-        assert delta == 0, "only prev-picture reference supported"
-        r.u(1)                  # used_by_curr_pic_s0
+        assert pos == 0, "future references unsupported (low delay)"
+        deltas, delta = [], 0
+        for _ in range(neg):
+            delta += r.ue() + 1     # delta_poc_s0_minus1
+            used = r.u(1)           # used_by_curr_pic_s0_flag
+            if used:
+                deltas.append(delta)
+        sh.ref_deltas = tuple(deltas)
+    sh.n_active_refs = pps.num_ref_l0_default
     if sps.sao:
         sh.sao_luma = bool(r.u(1))
         sh.sao_chroma = bool(r.u(1))
     if sh.slice_type in (0, 1):
-        assert r.u(1) == 0      # num_ref_idx_active_override
+        if r.u(1):              # num_ref_idx_active_override_flag
+            sh.n_active_refs = r.ue() + 1
+            if sh.slice_type == 0:
+                r.ue()          # num_ref_idx_l1_active_minus1
         if sh.slice_type == 0:
             r.u(1)              # mvd_l1_zero_flag
         sh.max_merge_cand = 5 - r.ue()
     sh.qp = pps.init_qp + r.se()
-    if not pps.deblock_disabled or sps.sao:
+    # 7.3.6.1: slice_loop_filter_across_slices_enabled_flag present iff
+    # slice_sao_luma || slice_sao_chroma || !deblocking_disabled
+    if sh.sao_luma or sh.sao_chroma or not pps.deblock_disabled:
         r.u(1)                  # slice_loop_filter_across_slices
-    r.byte_align()
+    # byte_alignment() (7.3.2.10): one alignment_bit_equal_to_one, then
+    # zero bits to the boundary — the '1' is consumed even when the
+    # header already ends byte-aligned (it then occupies a full byte)
+    assert r.u(1) == 1, "alignment_bit_equal_to_one missing"
+    while r.bit != 0:
+        r.u(1)
     sh.data = r.remaining_bytes()
     return sh
 
@@ -208,6 +227,7 @@ def parse_hash_sei(rbsp: bytes) -> Optional[list]:
     if ptype != 132:            # decoded_picture_hash
         return None
     hash_type = r.u(8)
-    if hash_type != 0:          # MD5
+    per = {0: 16, 1: 2, 2: 4}.get(hash_type)   # MD5 / CRC / checksum
+    if per is None:
         return None
-    return [bytes(r.u(8) for _ in range(16)) for _ in range(3)]
+    return hash_type, [bytes(r.u(8) for _ in range(per)) for _ in range(3)]

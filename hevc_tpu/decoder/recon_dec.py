@@ -131,14 +131,20 @@ def _collect_cus(depth8, W, H):
     return out
 
 
-def recon_inter_frame(dec: dict, ref: Frame, W: int, H: int,
+def recon_inter_frame(dec: dict, refs, W: int, H: int,
                       qp: int) -> Frame:
-    """Reconstruct a P picture: batched MC per CU size + residual add."""
+    """Reconstruct a P picture: batched MC per CU size + residual add.
+    refs: RefPicList0 (list of Frames, or a single Frame)."""
     import jax.numpy as jnp
     from ..ops import inter
 
+    if isinstance(refs, Frame):
+        refs = [refs]
     depth8 = dec["depth8"]
     mvq8 = dec["mvq8"]
+    ref8 = dec.get("ref8")
+    if ref8 is None:
+        ref8 = np.zeros_like(depth8)
     coef_y, coef_cb, coef_cr = dec["coef_y"], dec["coef_cb"], dec["coef_cr"]
     cqp = quant.chroma_qp(qp)
 
@@ -147,9 +153,9 @@ def recon_inter_frame(dec: dict, ref: Frame, W: int, H: int,
     recon_cr = np.zeros((H // 2, W // 2), np.int32)
 
     cus = _collect_cus(depth8, W, H)
-    ref_y = jnp.asarray(ref.y.astype(np.int32))
-    ref_cb = jnp.asarray(ref.cb.astype(np.int32))
-    ref_cr = jnp.asarray(ref.cr.astype(np.int32))
+    ref_y = jnp.asarray(np.stack([r.y.astype(np.int32) for r in refs]))
+    ref_cb = jnp.asarray(np.stack([r.cb.astype(np.int32) for r in refs]))
+    ref_cr = jnp.asarray(np.stack([r.cr.astype(np.int32) for r in refs]))
 
     for size in (8, 16, 32, 64):
         group = [(x, y) for (x, y, s) in cus if s == size]
@@ -157,14 +163,17 @@ def recon_inter_frame(dec: dict, ref: Frame, W: int, H: int,
             continue
         org = np.array(group, np.int32)
         mv = np.stack([mvq8[y >> 3, x >> 3] for (x, y) in group])
+        ri = jnp.asarray(np.array([ref8[y >> 3, x >> 3]
+                                   for (x, y) in group], np.int32))
         pred_y = np.asarray(inter.predict_inter_blocks(
-            ref_y, jnp.asarray(org), jnp.asarray(mv), size, is_luma=True))
+            ref_y, jnp.asarray(org), jnp.asarray(mv), size, is_luma=True,
+            ref_idx=ri))
         pred_cb = np.asarray(inter.predict_inter_blocks(
             ref_cb, jnp.asarray(org // 2), jnp.asarray(mv), size >> 1,
-            is_luma=False))
+            is_luma=False, ref_idx=ri))
         pred_cr = np.asarray(inter.predict_inter_blocks(
             ref_cr, jnp.asarray(org // 2), jnp.asarray(mv), size >> 1,
-            is_luma=False))
+            is_luma=False, ref_idx=ri))
         tu = 32 if size == 64 else size
         ctu_ = 16 if size == 64 else size >> 1
         for i, (x0, y0) in enumerate(group):
@@ -198,7 +207,8 @@ def apply_loop_filters(rec: Frame, dec: dict, qp: int, *,
         from ..ops import deblock as dbk
         if inter_pic:
             y, cb, cr = dbk.deblock_frame_inter(
-                y, cb, cr, dec["depth8"], dec["mvq8"], dec["coef_y"], qp)
+                y, cb, cr, dec["depth8"], dec["mvq8"], dec["coef_y"], qp,
+                ref8=dec.get("ref8"))
         else:
             y, cb, cr = dbk.deblock_frame(y, cb, cr, dec["depth8"], qp)
     if sao_on and dec.get("sao") is not None:

@@ -18,7 +18,7 @@ from ..entropy import residual, scan as scanlib
 from ..entropy.cabac import CabacDecoder
 from ..entropy.contexts import ContextModels
 from ..entropy.slice_enc import mpm_list, PLANAR, DC, VER
-from ..entropy.slice_enc_p import amvp_cand0, merge_candidates
+from ..entropy import motion
 from ..ops.sao import SaoParams, SAO_NONE, SAO_BAND, SAO_EDGE
 
 
@@ -289,7 +289,8 @@ class PSliceDecoder:
     holding the same previous picture, L1/bi motion reconstructs
     identically to L0 (bi rounding of equal inputs == uni rounding)."""
 
-    def __init__(self, sps, qp: int, sao_on: bool, is_b: bool = False):
+    def __init__(self, sps, qp: int, sao_on: bool, is_b: bool = False,
+                 n_refs: int = 1, poc: int = 1, ref_pocs=None):
         self.W = sps.pad_width
         self.H = sps.pad_height
         self.nx = sps.ctus_x
@@ -297,13 +298,20 @@ class PSliceDecoder:
         self.qp = qp
         self.sao_on = sao_on
         self.is_b = is_b
+        self.n_refs = n_refs
+        self.poc = poc
+        self.ref_pocs = (list(ref_pocs) if ref_pocs is not None
+                         else [poc - 1 - i for i in range(n_refs)])
         self.zmap = zorder.frame_zmap(self.W, self.H)
 
     def decode(self, data: bytes):
         W, H = self.W, self.H
         self.depth8 = np.zeros((H >> 3, W >> 3), np.int32)
         self.mvq8 = np.zeros((H >> 3, W >> 3, 2), np.int32)
+        self.ref8 = np.zeros((H >> 3, W >> 3), np.int32)
         self.skip8 = np.zeros((H >> 3, W >> 3), np.uint8)
+        self.field = motion.MotionField(self.mvq8, self.ref8, W, H,
+                                        self.zmap)
         self.coef_y = np.zeros((H, W), np.int32)
         self.coef_cb = np.zeros((H >> 1, W >> 1), np.int32)
         self.coef_cr = np.zeros((H >> 1, W >> 1), np.int32)
@@ -322,7 +330,7 @@ class PSliceDecoder:
             term = self.dec.decode_terminate()
             assert term == (1 if ci == n_ctu - 1 else 0), \
                 f"end_of_slice at CTU {ci}"
-        return dict(depth8=self.depth8, mvq8=self.mvq8,
+        return dict(depth8=self.depth8, mvq8=self.mvq8, ref8=self.ref8,
                     coef_y=self.coef_y, coef_cb=self.coef_cb,
                     coef_cr=self.coef_cr, sao=sao)
 
@@ -365,9 +373,28 @@ class PSliceDecoder:
             idx += 1
         return idx
 
-    def _set_mv(self, x0, y0, size, mv):
+    def _set_mv(self, x0, y0, size, mot):
         self.mvq8[y0 >> 3:(y0 + size) >> 3,
-                  x0 >> 3:(x0 + size) >> 3] = mv
+                  x0 >> 3:(x0 + size) >> 3] = mot[:2]
+        self.ref8[y0 >> 3:(y0 + size) >> 3,
+                  x0 >> 3:(x0 + size) >> 3] = mot[2]
+
+    def _read_ref_idx(self) -> int:
+        """ref_idx_l0: TU cMax = n_refs-1; bin0/bin1 context-coded,
+        rest bypass (mirror of PSliceEncoder._write_ref_idx)."""
+        dec, ctx = self.dec, self.ctx
+        if self.n_refs == 1 or not dec.decode_bin(ctx,
+                                                  ctx.idx("ref_pic", 0)):
+            return 0
+        ref = 1
+        cmax = self.n_refs - 2
+        for i in range(cmax):
+            bit = (dec.decode_bin(ctx, ctx.idx("ref_pic", 1)) if i == 0
+                   else dec.decode_bypass())
+            if not bit:
+                break
+            ref += 1
+        return ref
 
     def _coding_unit(self, x0, y0, size):
         dec, ctx = self.dec, self.ctx
@@ -377,8 +404,8 @@ class PSliceDecoder:
         if y0 > 0:
             inc += int(self.skip8[(y0 - 1) >> 3, x0 >> 3])
         skip = dec.decode_bin(ctx, ctx.idx("skip_flag", inc))
-        cands = merge_candidates(self.mvq8, x0, y0, size, self.W, self.H,
-                                 self.zmap)
+        cands = motion.merge_candidates(self.field, x0, y0, size,
+                                        self.n_refs)
         if skip:
             idx = self._read_merge_idx()
             self._set_mv(x0, y0, size, cands[idx])
@@ -400,6 +427,7 @@ class PSliceDecoder:
             bi = dec.decode_bin(ctx, ctx.idx("inter_dir", depth))
             assert bi == 0, "bi-pred AMVP PUs not in toolset"
             dec.decode_bin(ctx, ctx.idx("inter_dir", 4))  # L0/L1: same ref
+        ref = self._read_ref_idx()
         has_x = dec.decode_bin(ctx, ctx.idx("mvd", 0))
         has_y = dec.decode_bin(ctx, ctx.idx("mvd", 0))
         gt1_x = dec.decode_bin(ctx, ctx.idx("mvd", 1)) if has_x else 0
@@ -412,10 +440,10 @@ class PSliceDecoder:
             ay = 2 + self._read_eg1() if gt1_y else 1
             mvd_y = -ay if dec.decode_bypass() else ay
         mvp_idx = dec.decode_bin(ctx, ctx.idx("mvp_idx"))
-        assert mvp_idx == 0, "mvp_l0_flag=1 not in toolset"
-        mvp = amvp_cand0(self.mvq8, x0, y0, size, size, self.W, self.H,
-                         self.zmap)
-        self._set_mv(x0, y0, size, (mvp[0] + mvd_x, mvp[1] + mvd_y))
+        mvp = motion.amvp_candidates(self.field, x0, y0, size, size,
+                                     ref, self.ref_pocs, self.poc)[mvp_idx]
+        self._set_mv(x0, y0, size,
+                     (mvp[0] + mvd_x, mvp[1] + mvd_y, ref))
         root_cbf = dec.decode_bin(ctx, ctx.idx("qt_root_cbf"))
         if root_cbf:
             self._transform_tree(x0, y0, size)

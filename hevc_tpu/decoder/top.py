@@ -49,12 +49,11 @@ def _crop(frame: Frame, sps: hd.Sps) -> Frame:
 
 def decode_annexb(stream: bytes) -> DecodeResult:
     """Decode a full Annex-B stream of the framework's toolset."""
-    from ..pipeline.golden import md5_plane
-
     res = DecodeResult()
     sps: Optional[hd.Sps] = None
     pps: Optional[hd.Pps] = None
-    prev_rec: Optional[Frame] = None
+    dpb = {}                      # poc -> padded recon Frame
+    poc = 0
 
     for nu in nal_mod.split_annexb(stream):
         t = nu.nal_type
@@ -69,12 +68,14 @@ def decode_annexb(stream: bytes) -> DecodeResult:
             res.pps = pps
             continue
         if t in (NAL_PREFIX_SEI, NAL_SUFFIX_SEI):
-            hashes = hd.parse_hash_sei(nu.rbsp)
-            if hashes is not None and res.recons:
+            parsed = hd.parse_hash_sei(nu.rbsp)
+            if parsed is not None and res.recons:
+                from ..pipeline.golden import _HASH_FN
+                htype, hashes = parsed
+                fn = _HASH_FN[htype]
                 rec = res.recons[-1]
-                ok = (md5_plane(rec.y) == hashes[0]
-                      and md5_plane(rec.cb) == hashes[1]
-                      and md5_plane(rec.cr) == hashes[2])
+                ok = (fn(rec.y) == hashes[0] and fn(rec.cb) == hashes[1]
+                      and fn(rec.cr) == hashes[2])
                 res.hash_ok[-1] = bool(ok)
             continue
         if t in (NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_TRAIL_R):
@@ -82,6 +83,15 @@ def decode_annexb(stream: bytes) -> DecodeResult:
                 "slice before parameter sets"
             is_idr = t in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
             sh = hd.parse_slice_header(nu.rbsp, sps, pps, is_idr)
+            if is_idr:
+                poc = 0
+                dpb.clear()
+            else:
+                # low-delay streams: decode order == POC order; the
+                # poc_lsb check guards the assumption
+                poc += 1
+                mask = (1 << sps.log2_max_poc_lsb) - 1
+                assert sh.poc_lsb == (poc & mask), "POC discontinuity"
             W, H = sps.pad_width, sps.pad_height
             sao_on = sps.sao and (sh.sao_luma or sh.sao_chroma)
             if sh.slice_type == 2:
@@ -90,12 +100,18 @@ def decode_annexb(stream: bytes) -> DecodeResult:
                 rec = recon_dec.recon_intra_frame(dec, W, H, sh.qp)
                 inter_pic = False
             else:
-                assert prev_rec is not None, "P slice without reference"
+                # RefPicList0 from the slice RPS deltas, clipped to the
+                # active count (8.3.4)
+                deltas = list(sh.ref_deltas)[:sh.n_active_refs]
+                while len(deltas) < sh.n_active_refs:
+                    deltas.append(deltas[-1] if deltas else 1)
+                refs = [dpb[poc - d] for d in deltas]
+                ref_pocs = [poc - d for d in deltas]
                 dec = slice_dec.PSliceDecoder(
-                    sps, sh.qp, sao_on,
-                    is_b=sh.slice_type == 0).decode(sh.data)
-                rec = recon_dec.recon_inter_frame(dec, prev_rec, W, H,
-                                                  sh.qp)
+                    sps, sh.qp, sao_on, is_b=sh.slice_type == 0,
+                    n_refs=sh.n_active_refs, poc=poc,
+                    ref_pocs=ref_pocs).decode(sh.data)
+                rec = recon_dec.recon_inter_frame(dec, refs, W, H, sh.qp)
                 inter_pic = True
             rec = recon_dec.apply_loop_filters(
                 rec, dec, sh.qp, deblock_on=not pps.deblock_disabled,
@@ -103,7 +119,10 @@ def decode_annexb(stream: bytes) -> DecodeResult:
             res.recons.append(rec)
             res.frames.append(_crop(rec, sps))
             res.hash_ok.append(None)
-            prev_rec = rec
+            dpb[poc] = rec
+            # bound the DPB (keep the last 8 pictures)
+            for old_poc in [p for p in dpb if p < poc - 8]:
+                del dpb[old_poc]
             continue
         raise AssertionError(f"unsupported NAL type {t}")
     return res

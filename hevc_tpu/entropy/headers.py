@@ -27,6 +27,15 @@ class EncoderConfig:
     # LDP GOP-4 per-frame QP offsets by POC % 4 (1,2,3,0), matching the
     # reference encoder_lowdelay_P_main.cfg Frame1..4 QPoffset column.
     gop_qp_offsets: tuple = (3, 2, 3, 1)
+    # coding-grid alignment: pad to multiples of max(min_cu, pad_align).
+    # The LDP/LDB pipeline sets pad_align=64 (whole CTUs only); the SPS
+    # conformance window crops the padding back out (7.4.3.2.1).
+    pad_align: int = 0
+    # decoded-picture-hash SEI variant: 'md5' | 'crc' | 'checksum'
+    hash_type: str = "md5"
+    # active L0 reference pictures for P/B slices (the n previous
+    # pictures; reference LDP cfg ships 4, encoder_lowdelay_P_main.cfg)
+    num_refs: int = 1
     # fixed toolset
     ctu_size: int = 64
     min_cu: int = 8
@@ -35,11 +44,13 @@ class EncoderConfig:
 
     @property
     def pad_width(self):
-        return -(-self.width // self.min_cu) * self.min_cu
+        a = max(self.min_cu, self.pad_align)
+        return -(-self.width // a) * a
 
     @property
     def pad_height(self):
-        return -(-self.height // self.min_cu) * self.min_cu
+        a = max(self.min_cu, self.pad_align)
+        return -(-self.height // a) * a
 
     @property
     def ctus_x(self):
@@ -201,38 +212,64 @@ def finish_slice_nal(bw: BitWriter) -> bytes:
     return nal_unit(NAL_IDR_W_RADL, bw.get_bytes())
 
 
-def write_hash_sei(md5_y: bytes, md5_cb: bytes, md5_cr: bytes) -> bytes:
-    """decoded_picture_hash suffix SEI (D.2.19, hash_type 0 = MD5)."""
+_HASH_LEN = {0: 16, 1: 2, 2: 4}   # MD5 / CRC / checksum bytes per plane
+
+
+def write_hash_sei(h_y: bytes, h_cb: bytes, h_cr: bytes,
+                   hash_type: int = 0) -> bytes:
+    """decoded_picture_hash suffix SEI (D.2.19). hash_type: 0 = MD5,
+    1 = CRC, 2 = checksum (HM SEIEncoder.cpp:290-310 supports all
+    three)."""
+    per = _HASH_LEN[hash_type]
     bw = BitWriter()
     bw.u(132, 8)                 # payload type: decoded_picture_hash
-    bw.u(1 + 48, 8)              # payload size
-    bw.u(0, 8)                   # hash_type = MD5
-    for h in (md5_y, md5_cb, md5_cr):
-        assert len(h) == 16
+    bw.u(1 + 3 * per, 8)         # payload size
+    bw.u(hash_type, 8)
+    for h in (h_y, h_cb, h_cr):
+        assert len(h) == per
         for byte in h:
             bw.u(byte, 8)
     bw.align_one_then_zero()     # rbsp trailing
     return nal_unit(NAL_SUFFIX_SEI, bw.get_bytes())
 
 
-def start_p_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
-    """Slice header for a one-slice P picture referencing the previous
-    frame (slice-level RPS: one negative pic at delta 1)."""
+def _write_rps_and_refs(bw: BitWriter, n_refs: int):
+    """Slice-level st_ref_pic_set: the n_refs previous pictures
+    (consecutive deltas of 1), all used, + num_ref_idx override."""
+    bw.u(0, 1)        # short_term_ref_pic_set_sps_flag
+    # st_ref_pic_set(0): no inter-RPS prediction (idx 0)
+    bw.ue(n_refs)     # num_negative_pics
+    bw.ue(0)          # num_positive_pics
+    for _ in range(n_refs):
+        bw.ue(0)      # delta_poc_s0_minus1 (consecutive past pictures)
+        bw.u(1, 1)    # used_by_curr_pic_s0_flag
+
+
+def _write_ref_override(bw: BitWriter, n_refs: int, is_b: bool):
+    if n_refs == 1:
+        bw.u(0, 1)    # num_ref_idx_active_override_flag (PPS default 1)
+    else:
+        bw.u(1, 1)    # num_ref_idx_active_override_flag
+        bw.ue(n_refs - 1)   # num_ref_idx_l0_active_minus1
+        if is_b:
+            bw.ue(n_refs - 1)   # num_ref_idx_l1_active_minus1
+
+
+def start_p_slice(cfg: EncoderConfig, slice_qp: int, poc: int,
+                  n_refs: int = 1) -> BitWriter:
+    """Slice header for a one-slice P picture referencing the n_refs
+    previous pictures (the reference LDP cfg uses 4 active refs,
+    encoder_lowdelay_P_main.cfg:24)."""
     bw = BitWriter()
     bw.u(1, 1)        # first_slice_segment_in_pic_flag
     bw.ue(0)          # slice_pic_parameter_set_id
     bw.ue(1)          # slice_type = P
     bw.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
-    bw.u(0, 1)        # short_term_ref_pic_set_sps_flag
-    # st_ref_pic_set(0): no inter-RPS prediction (idx 0)
-    bw.ue(1)          # num_negative_pics
-    bw.ue(0)          # num_positive_pics
-    bw.ue(0)          # delta_poc_s0_minus1 (= previous picture)
-    bw.u(1, 1)        # used_by_curr_pic_s0_flag
+    _write_rps_and_refs(bw, n_refs)
     if cfg.sao:
         bw.u(1, 1)    # slice_sao_luma_flag
         bw.u(1, 1)    # slice_sao_chroma_flag
-    bw.u(0, 1)        # num_ref_idx_active_override_flag
+    _write_ref_override(bw, n_refs, is_b=False)
     bw.ue(0)          # five_minus_max_num_merge_cand (MaxNumMergeCand = 5)
     bw.se(slice_qp - cfg.qp)  # slice_qp_delta
     if cfg.deblock or cfg.sao:
@@ -246,7 +283,8 @@ def finish_p_slice_nal(bw: BitWriter) -> bytes:
     return nal_unit(NAL_TRAIL_R, bw.get_bytes())
 
 
-def start_b_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
+def start_b_slice(cfg: EncoderConfig, slice_qp: int, poc: int,
+                  n_refs: int = 1) -> BitWriter:
     """Slice header for a one-slice low-delay B picture: both reference
     lists hold the previous frame (single negative RPS entry), uni-L0
     prediction per PU. Matches the reference's LDB operating point
@@ -256,15 +294,11 @@ def start_b_slice(cfg: EncoderConfig, slice_qp: int, poc: int) -> BitWriter:
     bw.ue(0)          # slice_pic_parameter_set_id
     bw.ue(0)          # slice_type = B
     bw.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb
-    bw.u(0, 1)        # short_term_ref_pic_set_sps_flag
-    bw.ue(1)          # num_negative_pics
-    bw.ue(0)          # num_positive_pics
-    bw.ue(0)          # delta_poc_s0_minus1 (= previous picture)
-    bw.u(1, 1)        # used_by_curr_pic_s0_flag
+    _write_rps_and_refs(bw, n_refs)
     if cfg.sao:
         bw.u(1, 1)    # slice_sao_luma_flag
         bw.u(1, 1)    # slice_sao_chroma_flag
-    bw.u(0, 1)        # num_ref_idx_active_override_flag
+    _write_ref_override(bw, n_refs, is_b=True)
     bw.u(1, 1)        # mvd_l1_zero_flag (no L1 MVDs are ever coded)
     bw.ue(0)          # five_minus_max_num_merge_cand (MaxNumMergeCand = 5)
     bw.se(slice_qp - cfg.qp)  # slice_qp_delta

@@ -1,24 +1,23 @@
 """P-slice entropy encoding: inter CUs with skip/merge + AMVP/MVD.
 
-Conformant Low-Delay-P coding layer: every CU is inter 2Nx2N with one
-reference (the previous picture). Motion is coded opportunistically in
-z-order: if a CU's MV equals a normative merge candidate it is coded as
-cu_skip (when the CU has no residual — rqt_root_cbf is *inferred* 1 for
-2Nx2N merge, 7.3.8.5) or merge_flag=1; otherwise AMVP + MVD against the
-normative candidate 0 (H.265 8.5.3.2.6-7 — the same-reference fast
-path, since all pictures reference their immediate predecessor no MV
-scaling is involved). Merge candidates follow 8.5.3.2.3 under the
-all-inter / single-ref / TMVP-off simplifications: spatial A1 B1 B0 A0
-(+B2 if fewer than 4) with the normative pruning, zero-MV padded to
-MaxNumMergeCand = 5.
+Conformant low-delay coding layer: every CU is inter 2Nx2N, uni-L0,
+with up to `n_refs` active reference pictures (the reference LDP
+operating point uses 4, encoder_lowdelay_P_main.cfg:24). Motion is
+coded opportunistically in z-order: if a CU's (mv, refIdx) equals a
+normative merge candidate it is coded as cu_skip (when the CU has no
+residual — rqt_root_cbf is *inferred* 1 for 2Nx2N merge, 7.3.8.5) or
+merge_flag=1; otherwise ref_idx_l0 + AMVP/MVD with the cheaper of the
+two normative predictors selected via mvp_l0_flag (8.5.3.2.6-8,
+entropy/motion.py).
 
 Behavioral counterparts: HM TEncSbac codeSkipFlag/codeMergeFlag/
-codeMergeIndex/codeMvd/codeQtRootCbf; TComDataCU::fillMvpCand/
-getInterMergeCandidates.
+codeMergeIndex/codeRefFrmIdx/codeMvd/codeQtRootCbf;
+TComDataCU::fillMvpCand/getInterMergeCandidates.
 
 Decisions consumed per frame:
   depth8 [H8, W8]   CU depths (quadtree from pipeline/psearch)
   mvq8   [H8, W8, 2] quarter-pel MVs per 8x8 unit
+  ref8   [H8, W8]   L0 reference indices (None = all 0)
   coef_y/cb/cr      quantized coefficient planes (TUs in place)
 """
 
@@ -27,81 +26,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import zorder
-from . import residual, scan as scanlib
+from . import motion, residual, scan as scanlib
 from .cabac import CabacEncoder
 from .contexts import ContextModels
-
-
-def amvp_cand0(mvq8, x0, y0, w, h, pad_w, pad_h, zmap):
-    """Normative first AMVP candidate for a PB at (x0,y0,w,h) (luma).
-
-    All coded units are inter with the same reference; availability is
-    picture bounds + z-scan order (6.4.1)."""
-    cur_z = zmap[y0 >> 2, x0 >> 2]
-
-    def avail(xn, yn):
-        if xn < 0 or yn < 0 or xn >= pad_w or yn >= pad_h:
-            return False
-        return zmap[yn >> 2, xn >> 2] < cur_z
-
-    def mv_at(xn, yn):
-        return (int(mvq8[yn >> 3, xn >> 3, 0]), int(mvq8[yn >> 3, xn >> 3, 1]))
-
-    mv_a = None
-    for (xn, yn) in ((x0 - 1, y0 + h), (x0 - 1, y0 + h - 1)):   # A0, A1
-        if avail(xn, yn):
-            mv_a = mv_at(xn, yn)
-            break
-    mv_b = None
-    for (xn, yn) in ((x0 + w, y0 - 1), (x0 + w - 1, y0 - 1),
-                     (x0 - 1, y0 - 1)):                          # B0, B1, B2
-        if avail(xn, yn):
-            mv_b = mv_at(xn, yn)
-            break
-    if mv_a is not None:
-        return mv_a
-    if mv_b is not None:
-        return mv_b
-    return (0, 0)
-
-
-def merge_candidates(mvq8, x0, y0, size, pad_w, pad_h, zmap):
-    """Normative merge candidate list (8.5.3.2.3) for a 2Nx2N inter PB
-    under the all-inter / single-ref / TMVP-off simplifications.
-
-    Returns 5 (mvx, mvy) tuples; motion equality == MV equality since all
-    PBs use refIdx 0 uni-L0.
-    """
-    cur_z = zmap[y0 >> 2, x0 >> 2]
-
-    def at(xn, yn):
-        if xn < 0 or yn < 0 or xn >= pad_w or yn >= pad_h:
-            return None
-        if zmap[yn >> 2, xn >> 2] >= cur_z:
-            return None
-        return (int(mvq8[yn >> 3, xn >> 3, 0]),
-                int(mvq8[yn >> 3, xn >> 3, 1]))
-
-    a1 = at(x0 - 1, y0 + size - 1)
-    b1 = at(x0 + size - 1, y0 - 1)
-    b0 = at(x0 + size, y0 - 1)
-    a0 = at(x0 - 1, y0 + size)
-    cands = []
-    if a1 is not None:
-        cands.append(a1)
-    if b1 is not None and b1 != a1:
-        cands.append(b1)
-    if b0 is not None and b0 != b1:
-        cands.append(b0)
-    if a0 is not None and a0 != a1:
-        cands.append(a0)
-    if len(cands) < 4:
-        b2 = at(x0 - 1, y0 - 1)
-        if b2 is not None and b2 != a1 and b2 != b1:
-            cands.append(b2)
-    while len(cands) < 5:
-        cands.append((0, 0))   # zero-MV padding, refIdx 0
-    return cands[:5]
 
 
 class PSliceEncoder:
@@ -109,21 +36,29 @@ class PSliceEncoder:
     the low-delay B variant codes the same uni-L0 motion but signals
     inter_pred_idc per PU and initialises contexts with initType 2."""
 
-    def __init__(self, cfg, frame_qp: int, slice_type: str = "P"):
+    def __init__(self, cfg, frame_qp: int, slice_type: str = "P",
+                 n_refs: int = 1, poc: int = 1, ref_pocs=None):
         self.cfg = cfg
         self.qp = frame_qp
         self.is_b = slice_type == "B"
+        self.n_refs = n_refs
+        self.poc = poc
+        self.ref_pocs = (list(ref_pocs) if ref_pocs is not None
+                         else [poc - 1 - i for i in range(n_refs)])
 
     def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
-               sao=None):
+               sao=None, ref8=None):
         self.depth8 = np.asarray(depth8)
         self.mvq8 = np.asarray(mvq8)
+        self.ref8 = None if ref8 is None else np.asarray(ref8)
         self.coef_y = np.asarray(coef_y)
         self.coef_cb = np.asarray(coef_cb)
         self.coef_cr = np.asarray(coef_cr)
         self.W = self.cfg.pad_width
         self.H = self.cfg.pad_height
         self.zmap = zorder.frame_zmap(self.W, self.H)
+        self.field = motion.MotionField(self.mvq8, self.ref8, self.W,
+                                        self.H, self.zmap)
 
         ctx = ContextModels(init_type=2 if self.is_b else 1, qp=self.qp)
         enc = CabacEncoder(bw)
@@ -185,6 +120,23 @@ class PSliceEncoder:
             if idx < 4:
                 enc.encode_bypass(0)
 
+    def _write_ref_idx(self, ref):
+        """ref_idx_l0: TU cMax = n_refs-1; bin0/bin1 context-coded
+        ("ref_pic" 0/1), rest bypass (HM codeRefFrmIdx)."""
+        enc, ctx = self.enc, self.ctx
+        enc.encode_bin(ctx, ctx.idx("ref_pic", 0), int(ref > 0))
+        if ref > 0:
+            # remaining TU over cMax-1 values, value ref-1
+            rem, cmax = ref - 1, self.n_refs - 2
+            for i in range(cmax):
+                bit = 0 if i == rem else 1
+                if i == 0:
+                    enc.encode_bin(ctx, ctx.idx("ref_pic", 1), bit)
+                else:
+                    enc.encode_bypass(bit)
+                if bit == 0:
+                    break
+
     def _skip_ctx_inc(self, x0, y0):
         inc = 0
         if x0 > 0:
@@ -197,9 +149,12 @@ class PSliceEncoder:
         enc, ctx = self.enc, self.ctx
         mv = (int(self.mvq8[y0 >> 3, x0 >> 3, 0]),
               int(self.mvq8[y0 >> 3, x0 >> 3, 1]))
-        cands = merge_candidates(self.mvq8, x0, y0, size, self.W, self.H,
-                                 self.zmap)
-        merge_idx = cands.index(mv) if mv in cands else -1
+        ref = (0 if self.ref8 is None
+               else int(self.ref8[y0 >> 3, x0 >> 3]))
+        mot = (mv[0], mv[1], ref)
+        cands = motion.merge_candidates(self.field, x0, y0, size,
+                                        self.n_refs)
+        merge_idx = cands.index(mot) if mot in cands else -1
         cbf_l = self._tu_cbf(0, x0, y0, size)
         cbf_cb = self._tu_cbf(1, x0, y0, size)
         cbf_cr = self._tu_cbf(2, x0, y0, size)
@@ -229,9 +184,20 @@ class PSliceEncoder:
             depth = 6 - (size.bit_length() - 1)
             enc.encode_bin(ctx, ctx.idx("inter_dir", depth), 0)
             enc.encode_bin(ctx, ctx.idx("inter_dir", 4), 0)
-        # (1 active ref per list: no ref_idx)
-        mvp = amvp_cand0(self.mvq8, x0, y0, size, size, self.W, self.H,
-                         self.zmap)
+        if self.n_refs > 1:
+            self._write_ref_idx(ref)
+        mvps = motion.amvp_candidates(self.field, x0, y0, size, size,
+                                      ref, self.ref_pocs, self.poc)
+
+        def mvd_cost(p):
+            return abs(mv[0] - p[0]) + abs(mv[1] - p[1])
+
+        # single-ref keeps the historical mvp_l0_flag=0 choice so the
+        # native C++ CABAC twin stays byte-identical; multi-ref picks
+        # the cheaper of the two normative predictors
+        mvp_idx = (0 if self.n_refs == 1
+                   else int(mvd_cost(mvps[1]) < mvd_cost(mvps[0])))
+        mvp = mvps[mvp_idx]
         mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
         ax, ay = abs(mvd[0]), abs(mvd[1])
         enc.encode_bin(ctx, ctx.idx("mvd", 0), int(ax > 0))
@@ -248,8 +214,7 @@ class PSliceEncoder:
             if ay > 1:
                 self._write_eg1(ay - 2)
             enc.encode_bypass(int(mvd[1] < 0))
-        # mvp_l0_flag = 0
-        enc.encode_bin(ctx, ctx.idx("mvp_idx"), 0)
+        enc.encode_bin(ctx, ctx.idx("mvp_idx"), mvp_idx)
 
         enc.encode_bin(ctx, ctx.idx("qt_root_cbf"), root_cbf)
         if not root_cbf:

@@ -178,14 +178,15 @@ def _nz_tu8(coef_y, tu8):
     return jnp.where(tu8 == 8, nz8, jnp.where(tu8 == 16, nz16, nz32))
 
 
-def inter_bs_masks(depth8, mvq8, coef_y):
+def inter_bs_masks(depth8, mvq8, coef_y, ref8=None):
     """Boundary strengths for a pure-inter (P) slice per 8x8 cell.
 
-    H.265 8.7.2.4 under single-ref uni-prediction: bS = 1 on a PU/TU
-    edge iff either side's luma TB has nonzero coefficients or the MV
-    difference reaches a full sample (|dx| >= 4 or |dy| >= 4 quarter-pel
-    units); intra (bS = 2) does not occur. Returns (bs_vert, bs_horz)
-    int32 [H8, W8] aligned with edge_masks.
+    H.265 8.7.2.4 under uni-prediction: bS = 1 on a PU/TU edge iff
+    either side's luma TB has nonzero coefficients, the two sides use
+    different reference pictures (ref8 = per-8x8 L0 refIdx; None = all
+    identical), or the MV difference reaches a full sample (|dx| >= 4 or
+    |dy| >= 4 quarter-pel units); intra (bS = 2) does not occur.
+    Returns (bs_vert, bs_horz) int32 [H8, W8] aligned with edge_masks.
     """
     depth8 = jnp.asarray(depth8)
     mv = jnp.asarray(mvq8, jnp.int32)
@@ -195,10 +196,13 @@ def inter_bs_masks(depth8, mvq8, coef_y):
 
     mvd_v = (jnp.abs(mv - jnp.roll(mv, 1, axis=1)).max(-1)) >= 4
     nz_v = nz | jnp.roll(nz, 1, axis=1)
-    bs_v = (vert & (mvd_v | nz_v)).astype(jnp.int32)
-
     mvd_h = (jnp.abs(mv - jnp.roll(mv, 1, axis=0)).max(-1)) >= 4
     nz_h = nz | jnp.roll(nz, 1, axis=0)
+    if ref8 is not None:
+        r = jnp.asarray(ref8, jnp.int32)
+        mvd_v = mvd_v | (r != jnp.roll(r, 1, axis=1))
+        mvd_h = mvd_h | (r != jnp.roll(r, 1, axis=0))
+    bs_v = (vert & (mvd_v | nz_v)).astype(jnp.int32)
     bs_h = (horz & (mvd_h | nz_h)).astype(jnp.int32)
     return bs_v, bs_h
 
@@ -267,11 +271,11 @@ def deblock_frame(recon_y, recon_cb, recon_cr, depth8, qp: int):
 
 
 def deblock_frame_inter(recon_y, recon_cb, recon_cr, depth8, mvq8, coef_y,
-                        qp: int):
+                        qp: int, ref8=None):
     """Deblock a pure-inter P picture: luma edges at bS = 1 where the
     normative conditions hold; chroma is filtered only at bS = 2 (intra),
     which cannot occur, so chroma passes through (8.7.2.5.5)."""
-    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y)
+    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y, ref8)
     y = deblock_luma(recon_y, depth8, qp, bs_v, bs_h)
     return y, jnp.asarray(recon_cb, jnp.int32), \
         jnp.asarray(recon_cr, jnp.int32)

@@ -155,14 +155,19 @@ def predict_inter_ctu(ref_plane, origins, mv_q, *, is_luma=True):
 
 
 def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
-                         is_luma=True):
+                         is_luma=True, ref_idx=None):
     """Batched MC of size x size blocks at quarter(eighth)-pel MVs.
 
     origins: [B, 2] (x, y) in the plane's own coordinates (chroma origins
     are chroma coords). mv_q: [B, 2] quarter-pel *luma* MVs; chroma uses
     the same MV at 1/8 resolution per 4:2:0 (H.265 8.5.3.2.9).
+    Multi-reference: pass ref_plane [R, H, W] + ref_idx [B] to gather
+    each block's window from its own reference picture.
     """
-    h, w = ref_plane.shape
+    if ref_idx is not None:
+        R, h, w = ref_plane.shape
+    else:
+        h, w = ref_plane.shape
     if is_luma:
         border, lead = 7, 3
         mv_int = mv_q >> 2
@@ -180,8 +185,10 @@ def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
                   + jnp.arange(ext)[None, :, None], 0, h - 1)
     xs = jnp.clip(origins[:, 0:1, None] + mv_int[:, 0:1, None] - lead
                   + jnp.arange(ext)[None, None, :], 0, w - 1)
-    win = jnp.take(ref_plane.reshape(-1), ys * w + xs, axis=0
-                   ).astype(jnp.int32)
+    idx = ys * w + xs
+    if ref_idx is not None:
+        idx = idx + (ref_idx.astype(jnp.int32) * (h * w))[:, None, None]
+    win = jnp.take(ref_plane.reshape(-1), idx, axis=0).astype(jnp.int32)
 
     mc = mc_luma if is_luma else mc_chroma
     # all frac combos computed, select per block (frac is data-dependent)
@@ -192,7 +199,7 @@ def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
 
 
 def quarter_refine_blocks(cur_blocks, ref_plane, origins, mv_int,
-                          size: int):
+                          size: int, ref_idx=None):
     """Quarter-pel refinement sweep around integer MVs for size x size
     luma blocks: mv_q = 4*mv_int + (dx, dy), dx/dy in [-3, 3].
 
@@ -200,14 +207,20 @@ def quarter_refine_blocks(cur_blocks, ref_plane, origins, mv_int,
     Returns (mv_q [B, 2] int32, best_sad [B]).
     """
     B = cur_blocks.shape[0]
-    h, w = ref_plane.shape
+    if ref_idx is not None:
+        _, h, w = ref_plane.shape
+    else:
+        h, w = ref_plane.shape
     lead, border = 4, 9    # extra margin for -3/4 shifts
     ext = size + border
     base_x = origins[:, 0:1, None] + mv_int[:, 0:1, None] - lead
     base_y = origins[:, 1:2, None] + mv_int[:, 1:2, None] - lead
     ys = jnp.clip(base_y + jnp.arange(ext)[None, :, None], 0, h - 1)
     xs = jnp.clip(base_x + jnp.arange(ext)[None, None, :], 0, w - 1)
-    win = jnp.take(ref_plane.reshape(-1), ys * w + xs, axis=0
+    idx = ys * w + xs
+    if ref_idx is not None:
+        idx = idx + (ref_idx.astype(jnp.int32) * (h * w))[:, None, None]
+    win = jnp.take(ref_plane.reshape(-1), idx, axis=0
                    ).astype(jnp.int32)  # [B, ext, ext]
     cur = cur_blocks.astype(jnp.int32)
 

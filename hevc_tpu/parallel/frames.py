@@ -245,19 +245,26 @@ class FrameParallelAI:
             chunks, recons, device_s = self.encode_batch(frames)
             stats = dict(self.last_stats)
         else:
+            import collections
             import concurrent.futures as cf
             groups = [frames[i:i + chunk]
                       for i in range(0, len(frames), chunk)]
-            launched = []  # (device arrays d, m, planes) per group
-            for g in groups:
-                launched.append(self._launch(g))
             chunks, recons = [], []
             stats = {"device_s": 0.0, "transfer_s": 0.0, "entropy_s": 0.0}
+            # Launch at most 2 groups ahead of the drain so live device
+            # buffers stay bounded regardless of sequence length, while
+            # keeping device compute overlapped with host CABAC.
             with cf.ThreadPoolExecutor(max_workers=2) as pool:
-                futs = [pool.submit(self._drain, L, len(g))
-                        for L, g in zip(launched, groups)]
-                for f in futs:
-                    ch, rc, st = f.result()
+                pending = collections.deque()  # (future, group) in order
+                gi = 0
+                while gi < len(groups) or pending:
+                    while gi < len(groups) and len(pending) < 2:
+                        g = groups[gi]
+                        launched = self._launch(g)
+                        pending.append(pool.submit(self._drain, launched,
+                                                   len(g)))
+                        gi += 1
+                    ch, rc, st = pending.popleft().result()
                     chunks.extend(ch)
                     recons.extend(rc)
                     for k in stats:
@@ -266,9 +273,8 @@ class FrameParallelAI:
         for ch, rec in zip(chunks, recons):
             out.append(ch)
             if with_hash_sei:
-                out.append(headers.write_hash_sei(
-                    golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
-                    golden.md5_plane(rec.cr)))
+                tid, hs = golden.pic_hashes(rec, cfg.hash_type)
+                out.append(headers.write_hash_sei(*hs, hash_type=tid))
         return b"".join(out), dict(stats)
 
     def _launch(self, frames):

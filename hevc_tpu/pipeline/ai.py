@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.yuv import Frame, pad_frame
+from ..core.yuv import Frame, crop_frame, pad_frame
 from ..entropy import headers
 from ..entropy.slice_enc import SliceEncoder
 from ..models import eth_cnn, hcpm
@@ -128,9 +128,11 @@ class AIEncoder:
                   headers.write_pps(cfg)]
         recons = []
         stats = {"decide_s": 0.0, "recon_s": 0.0, "entropy_s": 0.0}
+        self.frame_qps = []  # actual per-picture QPs (for the CLI log)
         for frame in frames:
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
             qp = rate_control.pre_frame() if rate_control else cfg.qp
+            self.frame_qps.append(qp)
             t0 = time.perf_counter()
             depth8, modes8, modes4, nxn8 = self.decide_frame_full(
                 pf.y, qp, pf.cb, pf.cr)
@@ -142,14 +144,15 @@ class AIEncoder:
             if rate_control:
                 rate_control.post_frame(8 * len(chunks[-1]))
             if with_hash_sei:
-                chunks.append(headers.write_hash_sei(
-                    golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
-                    golden.md5_plane(rec.cr)))
+                tid, hs = golden.pic_hashes(rec, cfg.hash_type)
+                chunks.append(headers.write_hash_sei(*hs, hash_type=tid))
             t3 = time.perf_counter()
             stats["decide_s"] += t1 - t0
             stats["recon_s"] += t2 - t1
             stats["entropy_s"] += t3 - t2
-            recons.append(rec)
+            # returned recon = decoder-output view (conformance-cropped);
+            # the hash SEI above covers the full padded picture, like HM
+            recons.append(crop_frame(rec, cfg.width, cfg.height))
         return b"".join(chunks), recons, stats
 
     def _entropy_encode(self, decisions, qp=None) -> bytes:

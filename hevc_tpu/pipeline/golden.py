@@ -241,6 +241,42 @@ def md5_plane(plane: np.ndarray) -> bytes:
                        .tobytes()).digest()
 
 
+def crc_plane(plane: np.ndarray) -> bytes:
+    """CRC-16 picture hash (D.3.19 hash_type 1): poly 0x1021 MSB-first,
+    init 0xFFFF, 16 zero bits appended — i.e. standard CRC-16/CCITT-FALSE
+    over the raster sample bytes (8-bit depth). HM: TComPicYuvMD5.cpp
+    compCRC."""
+    import binascii
+    crc = binascii.crc_hqx(
+        np.ascontiguousarray(plane, np.uint8).tobytes(), 0xFFFF)
+    return bytes([(crc >> 8) & 0xFF, crc & 0xFF])
+
+
+def checksum_plane(plane: np.ndarray) -> bytes:
+    """Checksum picture hash (D.3.19 hash_type 2): 32-bit sum of
+    sample ^ xorMask, xorMask = (x & 0xFF) ^ (y & 0xFF) ^ (x >> 8) ^
+    (y >> 8). HM: TComPicYuvMD5.cpp compChecksum."""
+    p = np.ascontiguousarray(plane, np.uint8)
+    h, w = p.shape
+    xs = np.arange(w, dtype=np.uint32)
+    ys = np.arange(h, dtype=np.uint32)
+    mask = ((xs[None, :] & 0xFF) ^ (ys[:, None] & 0xFF)
+            ^ (xs[None, :] >> 8) ^ (ys[:, None] >> 8)).astype(np.uint32)
+    s = int(((p.astype(np.uint32) ^ mask) & 0xFF).sum()) & 0xFFFFFFFF
+    return s.to_bytes(4, "big")
+
+
+HASH_TYPE_ID = {"md5": 0, "crc": 1, "checksum": 2}
+_HASH_FN = {0: md5_plane, 1: crc_plane, 2: checksum_plane}
+
+
+def pic_hashes(rec, hash_type: str = "md5"):
+    """(hash_type_id, [h_y, h_cb, h_cr]) for a reconstructed picture."""
+    tid = HASH_TYPE_ID[hash_type]
+    fn = _HASH_FN[tid]
+    return tid, [fn(rec.y), fn(rec.cb), fn(rec.cr)]
+
+
 def encode_sequence(frames, cfg: headers.EncoderConfig, depth8_fn,
                     with_hash_sei: bool = True):
     """Encode frames to a full Annex-B stream. depth8_fn(frame_idx, frame)
@@ -262,7 +298,7 @@ def encode_sequence(frames, cfg: headers.EncoderConfig, depth8_fn,
                   decisions["coef_cr"])
         chunks.append(headers.finish_slice_nal(bw))
         if with_hash_sei:
-            chunks.append(headers.write_hash_sei(
-                md5_plane(recon.y), md5_plane(recon.cb), md5_plane(recon.cr)))
+            tid, hs = pic_hashes(recon, cfg.hash_type)
+            chunks.append(headers.write_hash_sei(*hs, hash_type=tid))
         recons.append(recon)
     return b"".join(chunks), recons

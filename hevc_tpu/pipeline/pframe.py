@@ -1,14 +1,17 @@
-"""P-frame coding (device compute): ME + MC + residual transform + recon.
+"""P/B-frame coding (device compute): ME + MC + residual transform + recon.
 
-Minimal conformant LDP v0: every CTU is one inter 2Nx2N 64x64 CU
-referencing the previous reconstructed picture (the reference pre-encode
-shape, HM-16.5_Resi_Pre/TEncCu.cpp:388-397, promoted to a real coded
-frame). Unlike intra, inter reconstruction has no spatial dependency, so
-the whole frame batches in one jitted program. Entropy:
-entropy/slice_enc_p.py.
+Two device paths:
+  - `tree="flat"`: every CTU one inter 2Nx2N 64x64 CU vs the previous
+    reconstruction (the reference pre-encode shape,
+    HM-16.5_Resi_Pre/TEncCu.cpp:388-397) — used for the LDP pre-encode
+    stage and as a fast operating point.
+  - `tree="quadtree"` (default): full inter CU-tree RDO via
+    pipeline/psearch.py (HM TEncCu.cpp:375 xCompressCU analogue), with
+    optional HCPM gating from the LDP predictor.
 
-Current v0 limits (round-2: full P RDO with CU tree + merge/skip + HCPM
-gating of the inter search): frame dims must be CTU-aligned.
+Unlike intra, inter reconstruction has no spatial dependency, so the
+whole frame batches in one jitted program. Entropy:
+entropy/slice_enc_p.py (P) / B contexts per slice_mode.
 """
 
 from __future__ import annotations
@@ -114,8 +117,11 @@ class LDPEncoder:
     def __init__(self, cfg, cnn_params=None, lstm_params=None,
                  thresholds=None, tree: str = "full",
                  use_gop_qp: bool = True, slice_mode: str = "P"):
-        assert cfg.pad_width % 64 == 0 and cfg.pad_height % 64 == 0, \
-            "LDP requires CTU-aligned dims"
+        if cfg.pad_width % 64 or cfg.pad_height % 64:
+            # LDP codes whole CTUs only; pad to 64-multiples and crop via
+            # the SPS conformance window (reference 416x240 cfg works).
+            import dataclasses
+            cfg = dataclasses.replace(cfg, pad_align=64)
         assert slice_mode in ("P", "B")
         self.cfg = cfg
         self.tree = tree
@@ -135,9 +141,10 @@ class LDPEncoder:
         self._psearch = psearch_mod.p_search_frame
 
     def _frame_qp(self, poc: int) -> int:
-        if poc == 0 or not self.use_gop_qp:
+        offsets = self.cfg.gop_qp_offsets
+        if poc == 0 or not self.use_gop_qp or not offsets:
             return self.cfg.qp
-        off = self.cfg.gop_qp_offsets[(poc - 1) % 4]
+        off = offsets[(poc - 1) % len(offsets)]
         return min(51, self.cfg.qp + off)
 
     def _search_fn(self, frame_qp: int, gated: bool):
@@ -167,7 +174,7 @@ class LDPEncoder:
         and pre-encode residues (Resi_Pre TEncSearch.cpp:4500-4570) in one
         pass, with residues against the previous *reconstruction* exactly
         as the gated eval path sees them."""
-        from ..core.yuv import Frame, pad_frame
+        from ..core.yuv import Frame, crop_frame, pad_frame
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
         from . import golden, ldp as ldp_mod
@@ -178,14 +185,16 @@ class LDPEncoder:
         chunks = [headers.write_vps(cfg), headers.write_sps(cfg),
                   headers.write_pps(cfg)]
         recons = []
-        prev = None
+        dpb = []                  # padded recons, newest first
         origins = jnp.asarray(search_lib.ctu_grid(W, H))
         if self.predictor is not None:
             self.predictor.reset()
+        self.frame_qps = []  # actual per-picture QPs (for the CLI log)
         for poc, frame in enumerate(frames):
             pf = pad_frame(frame, cfg.pad_width, cfg.pad_height)
             frame_qp = (rate_control.pre_frame() if rate_control
                         else self._frame_qp(poc))
+            self.frame_qps.append(frame_qp)
             n_chunks0 = len(chunks)
             if poc == 0:
                 d8, m8, m4, nxn = self.intra.decide_frame_full(
@@ -195,24 +204,34 @@ class LDPEncoder:
                 chunks.append(self.intra._entropy_encode(decisions,
                                                          frame_qp))
             elif self.tree == "flat":
-                rec, chunk = self._encode_flat(pf, prev, poc, frame_qp)
+                rec, chunk = self._encode_flat(pf, dpb[0], poc, frame_qp)
                 chunks.append(chunk)
             else:
+                prev = dpb[0]
+                n_act = min(poc, cfg.num_refs)
                 hcpm = None
                 ry = None
                 if self.predictor is not None or collect is not None:
+                    # pre-encode always vs the previous reconstruction
+                    # (reference Resi_Pre behavior)
                     ry, _, _, _ = self._pre_jit(
                         pf.y.astype(np.int32), prev.y.astype(np.int32),
                         pf.cb.astype(np.int32), prev.cb.astype(np.int32),
                         pf.cr.astype(np.int32), prev.cr.astype(np.int32))
                 if self.predictor is not None:
                     hcpm = self.predictor.step(ry, poc)
+                # static-shape ref stacks (newest first): pad by
+                # repeating the oldest; psearch masks the invalid tail
+                rl = (dpb + [dpb[-1]] * cfg.num_refs)[:cfg.num_refs]
+                ref_y = np.stack([r.y for r in rl]).astype(np.int32)
+                ref_cb = np.stack([r.cb for r in rl]).astype(np.int32)
+                ref_cr = np.stack([r.cr for r in rl]).astype(np.int32)
                 res = self._search_fn(frame_qp, hcpm is not None)(
                     pf.y.astype(np.int32), pf.cb.astype(np.int32),
                     pf.cr.astype(np.int32),
-                    prev.y.astype(np.int32), prev.cb.astype(np.int32),
-                    prev.cr.astype(np.int32), origins,
-                    hcpm_probs=hcpm)
+                    ref_y, ref_cb, ref_cr, origins,
+                    hcpm_probs=hcpm,
+                    n_active_refs=jnp.int32(n_act))
                 coef_y = ldp_mod.tiles_to_plane(res.coef_y, W, H, 64)
                 coef_cb = ldp_mod.tiles_to_plane(res.coef_cb, W // 2,
                                                  H // 2, 32)
@@ -238,13 +257,16 @@ class LDPEncoder:
                 mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8,
                                              H // 8, 8)
                 mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
+                ref8 = ldp_mod.tiles_to_plane(res.ref8, W // 8,
+                                              H // 8, 8).astype(np.int32)
                 sao_params = None
                 if cfg.deblock or cfg.sao:
                     yy, cb_, cr_ = rec.y, rec.cb, rec.cr
                     if cfg.deblock:
                         from ..ops import deblock as dbk
                         yy, cb_, cr_ = dbk.deblock_frame_inter(
-                            yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp)
+                            yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp,
+                            ref8=ref8)
                     if cfg.sao:
                         from ..ops import sao as sao_lib
                         sao_params = sao_lib.estimate_frame(
@@ -255,31 +277,36 @@ class LDPEncoder:
                                 np.asarray(cb_).astype(np.uint8),
                                 np.asarray(cr_).astype(np.uint8))
 
-                bw = (headers.start_b_slice(cfg, frame_qp, poc)
+                bw = (headers.start_b_slice(cfg, frame_qp, poc, n_act)
                       if self.slice_mode == "B"
-                      else headers.start_p_slice(cfg, frame_qp, poc))
+                      else headers.start_p_slice(cfg, frame_qp, poc,
+                                                 n_act))
                 chunks.append(self._p_slice_nal(
                     bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
-                    sao_params))
+                    sao_params, ref8=ref8, n_refs=n_act, poc=poc))
             if rate_control:
                 rate_control.post_frame(
                     8 * sum(len(c) for c in chunks[n_chunks0:]))
             if with_hash_sei:
-                chunks.append(headers.write_hash_sei(
-                    golden.md5_plane(rec.y), golden.md5_plane(rec.cb),
-                    golden.md5_plane(rec.cr)))
-            recons.append(rec)
-            prev = rec
+                tid, hs = golden.pic_hashes(rec, cfg.hash_type)
+                chunks.append(headers.write_hash_sei(*hs, hash_type=tid))
+            # returned recon = decoder-output view (conformance-cropped);
+            # referencing and the hash SEI use the full padded picture
+            recons.append(crop_frame(rec, cfg.width, cfg.height))
+            dpb.insert(0, rec)
+            del dpb[max(self.cfg.num_refs, 1):]
         return b"".join(chunks), recons
 
     def _p_slice_nal(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
-                     frame_qp, sao_params=None):
-        """P slice data: native C++ CABAC when possible (no SAO yet),
-        Python PSliceEncoder otherwise — byte-identical paths."""
+                     frame_qp, sao_params=None, ref8=None, n_refs=1,
+                     poc=1):
+        """P slice data: native C++ CABAC when possible (no SAO and
+        single-ref for now), Python PSliceEncoder otherwise —
+        byte-identical paths."""
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
         cfg = self.cfg
-        if sao_params is None:
+        if sao_params is None and n_refs == 1:
             try:
                 from .. import native
                 data = native.encode_slice_data_p(
@@ -290,9 +317,10 @@ class LDPEncoder:
                 return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
             except Exception:
                 pass
-        pse = PSliceEncoder(cfg, frame_qp, slice_type=self.slice_mode)
+        pse = PSliceEncoder(cfg, frame_qp, slice_type=self.slice_mode,
+                            n_refs=n_refs, poc=poc)
         pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
-                   sao=sao_params)
+                   sao=sao_params, ref8=ref8)
         return headers.finish_p_slice_nal(bw)
 
     def _encode_flat(self, pf, prev, poc, frame_qp):

@@ -40,6 +40,7 @@ from . import search as search_lib
 class PSearchResult(NamedTuple):
     depth8: jax.Array    # [B, 8, 8] int32 depth of each 8x8 unit
     mv8: jax.Array       # [B, 8, 8, 2] int32 quarter-pel MV per 8x8 unit
+    ref8: jax.Array      # [B, 8, 8] int32 L0 refIdx per 8x8 unit
     coef_y: jax.Array    # [B, 64, 64] int16 quantized luma levels
     coef_cb: jax.Array   # [B, 32, 32] int16
     coef_cr: jax.Array   # [B, 32, 32] int16
@@ -117,18 +118,46 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                    ctu_origins, *, qp: int, pad_w: int, pad_h: int,
                    hcpm_probs: Optional[jax.Array] = None,
                    thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
-                   radius: int = 8, use_rdoq: bool = True):
+                   radius: int = 8, use_rdoq: bool = True,
+                   n_active_refs: int = 1):
     """Full quadtree inter search + coding of one P frame (jittable).
 
-    cur_*/ref_*: planes (ref = previous reconstruction). ctu_origins:
-    [B, 2]. hcpm_probs: [B, 21] ETH-LSTM outputs or None (pure search).
-    Returns PSearchResult.
+    cur_*: planes. ref_*: reference plane stacks [R, H, W] (RefPicList0
+    order, newest first) or single planes [H, W]; the stack may repeat
+    pictures to keep R static — `n_active_refs` (static) masks the
+    invalid tail so only real references are ever selected, keeping one
+    compiled program across the sequence ramp-up. ctu_origins: [B, 2].
+    hcpm_probs: [B, 21] ETH-LSTM outputs or None (pure search).
+    Returns PSearchResult (incl. the per-8x8 L0 refIdx map).
+
+    Multi-reference ME (reference operating point: 4 active refs,
+    encoder_lowdelay_P_main.cfg:24): one integer SAD field per
+    reference, best (ref, mv) per node by SAD + approximate motion rate,
+    then quarter-pel refinement and residual coding on the winner only
+    (HM searches each ref fully, TEncSearch.cpp:2912; the
+    winner-only residual pass keeps the transform work ref-count-
+    independent).
     """
     B = ctu_origins.shape[0]
     cur_y = jnp.asarray(cur_y)
     ref_y = jnp.asarray(ref_y)
+    ref_cb = jnp.asarray(ref_cb)
+    ref_cr = jnp.asarray(ref_cr)
+    if ref_y.ndim == 2:
+        ref_y, ref_cb, ref_cr = ref_y[None], ref_cb[None], ref_cr[None]
+    R = ref_y.shape[0]
+    # dynamic (traced) active-ref count: one compiled program serves the
+    # whole sequence ramp-up (1, 2, .., num_refs active references)
+    n_act = jnp.minimum(jnp.asarray(n_active_refs, jnp.int32), R)
     lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    sqrt_lam = float(np.sqrt(lam))
     cqp = quant.chroma_qp(qp)
+    # ref_idx_l0 TU bin count per value (cMax = n_act - 1)
+    ref_ids = jnp.arange(R, dtype=jnp.int32)
+    ref_bits_tab = jnp.where(
+        n_act > 1,
+        jnp.minimum(ref_ids + 1, jnp.maximum(n_act - 1, 1)),
+        0).astype(jnp.float32)
 
     h, w = cur_y.shape
     ys = jnp.clip(ctu_origins[:, 1:2, None] + jnp.arange(64)[None, :, None],
@@ -152,13 +181,14 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     cur_cb_t = chroma_tiles(cur_cb)
     cur_cr_t = chroma_tiles(cur_cr)
 
-    # --- shared integer ME field -----------------------------------------
+    # --- shared integer ME fields (one per reference) ---------------------
     n_side = 2 * radius + 1
-    sad8 = inter.sad_grid8(cur_y_t, ref_y, ctu_origins, radius=radius)
-    # [n_cand, B, 8, 8] -> aggregate up the tree (exact: SAD is additive)
+    sad8 = jax.vmap(lambda r: inter.sad_grid8(cur_y_t, r, ctu_origins,
+                                              radius=radius))(ref_y)
+    # [R, n_cand, B, 8, 8] -> aggregate up the tree (SAD is additive)
     def pool(s):
-        c, b, n, _ = s.shape
-        return s.reshape(c, b, n // 2, 2, n // 2, 2).sum((3, 5))
+        r_, c, b, n, _ = s.shape
+        return s.reshape(r_, c, b, n // 2, 2, n // 2, 2).sum((4, 6))
 
     sad_by_depth = {3: sad8}
     for d in (2, 1, 0):
@@ -166,6 +196,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
 
     # --- per-depth node ME + coding --------------------------------------
     mv_maps = {}
+    ref_maps = {}
     cost_maps = {}
     lvl_y_d, rr_y_d = {}, {}
     lvl_cb_d, rr_cb_d = {}, {}
@@ -176,19 +207,30 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
         n = 1 << d
         s = 64 >> d
         nd = n * n
-        sads = sad_by_depth[d].reshape(n_side * n_side, B * nd)
-        best = jnp.argmin(sads, axis=0)
-        mv_int = jnp.stack([best % n_side - radius,
-                            best // n_side - radius], -1).astype(jnp.int32)
+        sads = sad_by_depth[d].reshape(R, n_side * n_side, B * nd)
+        best = jnp.argmin(sads, axis=1)                # [R, B*nd]
+        sad_best = jnp.min(sads, axis=1).astype(jnp.float32)
+        mv_int_r = jnp.stack([best % n_side - radius,
+                              best // n_side - radius],
+                             -1).astype(jnp.int32)     # [R, B*nd, 2]
+        # ref choice: SAD + sqrt(lambda) * (ref_idx bins + rough MV rate)
+        mv_rate = (2.0 * jnp.log2(jnp.abs(mv_int_r).sum(-1) + 1.0) + 1.0)
+        ref_cost = sad_best + sqrt_lam * (ref_bits_tab[:, None] + mv_rate)
+        ref_cost = jnp.where((ref_ids < n_act)[:, None], ref_cost,
+                             jnp.float32(3.4e38))
+        ref_sel = jnp.argmin(ref_cost, axis=0).astype(jnp.int32)  # [B*nd]
+        mv_int = jnp.take_along_axis(
+            mv_int_r, ref_sel[None, :, None], axis=0)[0]
 
         node_org = _node_origins(ctu_origins, d)
         cur_blocks = _node_blocks(cur_y_t, d)
         mv_q, _ = inter.quarter_refine_blocks(cur_blocks, ref_y, node_org,
-                                              mv_int, s)
+                                              mv_int, s, ref_idx=ref_sel)
         mv_maps[d] = mv_q.reshape(B, n, n, 2)
+        ref_maps[d] = ref_sel.reshape(B, n, n)
 
         pred = inter.predict_inter_blocks(ref_y, node_org, mv_q, s,
-                                          is_luma=True)
+                                          is_luma=True, ref_idx=ref_sel)
         resi = cur_blocks.astype(jnp.int32) - pred
         tu = min(s, 32)
         lvl, rr, bits_y = _tu_transform(resi, qp, tu, lam, use_rdoq)
@@ -197,10 +239,12 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
         # chroma (4:2:0): node size s/2, TU = min(s, 32) / 2
         corg = _node_origins(ctu_origins, d, chroma=True)
         ctu_c = min(s, 32) // 2
-        pred_cb = inter.predict_inter_blocks(jnp.asarray(ref_cb), corg,
-                                             mv_q, s // 2, is_luma=False)
-        pred_cr = inter.predict_inter_blocks(jnp.asarray(ref_cr), corg,
-                                             mv_q, s // 2, is_luma=False)
+        pred_cb = inter.predict_inter_blocks(ref_cb, corg, mv_q, s // 2,
+                                             is_luma=False,
+                                             ref_idx=ref_sel)
+        pred_cr = inter.predict_inter_blocks(ref_cr, corg, mv_q, s // 2,
+                                             is_luma=False,
+                                             ref_idx=ref_sel)
         resi_cb = _node_blocks(cur_cb_t, d).astype(jnp.int32) - pred_cb
         resi_cr = _node_blocks(cur_cr_t, d).astype(jnp.int32) - pred_cr
         lvl_cb, rr_cb, bits_cb = _tu_transform(resi_cb, cqp, ctu_c, lam,
@@ -227,7 +271,8 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
         else:
             pred_mv = jnp.broadcast_to(mv_maps[0].reshape(B, 1, 2),
                                        (B, nd, 2)).reshape(B * nd, 2)
-        bits = bits + _mvd_bits(mv_q, pred_mv) + 6.0   # flags overhead
+        bits = (bits + _mvd_bits(mv_q, pred_mv) + 6.0   # flags overhead
+                + ref_bits_tab[ref_sel])                # ref_idx_l0 bins
         cost_maps[d] = (sse + lam * bits).reshape(B, nd)
 
     split0, split1, split2, depth8 = search_lib.decide_tree(
@@ -262,8 +307,13 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     mv8 = jnp.take_along_axis(
         mv_stack, depth8[..., None, None].astype(jnp.int32),
         axis=-2)[..., 0, :]
+    ref_stack = jnp.stack([
+        jnp.repeat(jnp.repeat(ref_maps[d], 8 >> d, 1), 8 >> d, 2)
+        for d in range(4)], -1)                         # [B, 8, 8, 4]
+    ref8 = jnp.take_along_axis(
+        ref_stack, depth8[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
-    return PSearchResult(depth8=depth8, mv8=mv8,
+    return PSearchResult(depth8=depth8, mv8=mv8, ref8=ref8,
                          coef_y=coef_y.astype(jnp.int16),
                          coef_cb=coef_cb.astype(jnp.int16),
                          coef_cr=coef_cr.astype(jnp.int16),
