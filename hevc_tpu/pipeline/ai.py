@@ -27,7 +27,8 @@ class AIEncoder:
     def __init__(self, cfg: headers.EncoderConfig,
                  cnn_params=None,
                  thresholds: Optional[hcpm.Thresholds] = None,
-                 recon_backend: str = "tpu"):
+                 recon_backend: str = "tpu",
+                 max_depth_exit: bool = False):
         if recon_backend == "tu" and cfg.nxn:
             # the TU-wavefront backend codes TU == CU (no NxN support)
             import dataclasses
@@ -36,17 +37,26 @@ class AIEncoder:
         self.cnn_params = cnn_params
         self.thr = thresholds or hcpm.DEFAULT_AI
         self.recon_backend = recon_backend
+        # Frame-level early exit: when the HCPM gates close every split
+        # at some level frame-wide, dispatch a narrower compiled search
+        # that never evaluates the deeper CU levels — the TPU analogue
+        # of the reference's per-CU RD-check skipping (TEncCu.cpp:
+        # 862-873), realized as host program selection instead of
+        # data-dependent branching inside jit.
+        self.max_depth_exit = max_depth_exit and cnn_params is not None
         self.golden = golden.GoldenEncoder(cfg)
         self._search_cache = {}
         self._origins = jnp.asarray(
             search.ctu_grid(cfg.pad_width, cfg.pad_height))
 
-    def _search_fn(self, qp: int, gated: bool, chroma: bool):
-        key = (qp, gated, chroma)
+    def _search_fn(self, qp: int, gated: bool, chroma: bool,
+                   max_depth: int = 3):
+        key = (qp, gated, chroma, max_depth)
         if key not in self._search_cache:
             cfg = self.cfg
             kw = dict(pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                      n_ctu_x=cfg.ctus_x, qp=qp, nxn=cfg.nxn)
+                      n_ctu_x=cfg.ctus_x, qp=qp, nxn=cfg.nxn,
+                      max_depth=max_depth)
             if gated:
                 kw.update(thr_up=self.thr.up, thr_down=self.thr.down)
             if gated and chroma:
@@ -96,12 +106,31 @@ class AIEncoder:
                  else ())
         if self.cnn_params is not None:
             probs = self.predict_hcpm(y_pad, qp)
-            res = self._search_fn(qp, True, chroma)(y, self._origins,
-                                                    probs, *extra)
+            md = 3
+            if self.max_depth_exit:
+                md = self._gate_max_depth(probs)
+            res = self._search_fn(qp, True, chroma, md)(y, self._origins,
+                                                        probs, *extra)
         else:
             res = self._search_fn(qp, False, chroma)(y, self._origins,
                                                      *extra)
         return self._assemble(res)
+
+    def _gate_max_depth(self, probs) -> int:
+        """Deepest CU level any gate leaves open this frame (host-side
+        scalar -> compiled-program selection), floored at the
+        forced-split depth of the padded frame."""
+        cs = np.asarray(hcpm.split_gates(probs, self.thr)[1])
+        if cs[:, 5:21].any():
+            md = 3
+        elif cs[:, 1:5].any():
+            md = 2
+        elif cs[:, 0].any():
+            md = 1
+        else:
+            md = 0
+        return max(md, search.forced_depth_floor(self.cfg.pad_width,
+                                                 self.cfg.pad_height))
 
     def _assemble(self, res: search.SearchResult):
         cfg = self.cfg

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import hcpm as hcpm_lib
-from ..ops import cost, intra, refs
+from ..ops import cost, intra, intra_mm, refs
 
 
 class SearchResult(NamedTuple):
@@ -67,10 +67,6 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
 
     r = refs.prepare_refs(y_plane, origins, size, pad_w, pad_h, n_ctu_x)
     rf = intra.filter_refs(r)
-    preds_u = intra.predict_all_modes(r, size, component="luma")
-    preds_f = intra.predict_all_modes(rf, size, component="luma")
-    fmask = jnp.asarray(_filter_mask(size))
-    preds = jnp.where(fmask[None, :, None, None], preds_f, preds_u)
 
     # original blocks
     h, w = y_plane.shape
@@ -81,8 +77,17 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
     orig = jnp.take(y_plane.reshape(-1), ys * w + xs, axis=0
                     ).astype(jnp.int32)
 
-    block = 4 if size == 4 else 8
-    satds = cost.satd(orig[:, None], preds, block=block)  # [B*nd, 35]
+    if size <= 16 and os.environ.get("HEVC_TPU_INTRA_MM", "1") != "0":
+        # MXU weight-matrix formulation (+ Pallas fusion on TPU),
+        # bit-exact vs the gather path: tests/test_intra_mm.py
+        satds = intra_mm.satd_all_modes(r, rf, orig, size)
+    else:
+        preds_u = intra.predict_all_modes(r, size, component="luma")
+        preds_f = intra.predict_all_modes(rf, size, component="luma")
+        fmask = jnp.asarray(_filter_mask(size))
+        preds = jnp.where(fmask[None, :, None, None], preds_f, preds_u)
+        block = 4 if size == 4 else 8
+        satds = cost.satd(orig[:, None], preds, block=block)  # [B*nd, 35]
     best_mode = jnp.argmin(satds, axis=1).astype(jnp.int32)
     best_satd = jnp.min(satds, axis=1)
     return (best_mode.reshape(B, nd), best_satd.reshape(B, nd))
@@ -291,11 +296,21 @@ def decide_tree(costs, ctu_origins, *, pad_w, pad_h, split_bits,
     return split0, split1, split2, depth8
 
 
+def forced_depth_floor(pad_w: int, pad_h: int) -> int:
+    """Smallest depth whose CU size tiles the padded frame exactly —
+    boundary CTUs are force-split down to this depth (TEncCu.cpp:424-428),
+    so a frame-level max-depth early exit can never go shallower."""
+    for d in range(4):
+        if pad_w % (64 >> d) == 0 and pad_h % (64 >> d) == 0:
+            return d
+    return 3
+
+
 def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                  hcpm_probs: Optional[jax.Array] = None,
                  thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
                  rd_refine: bool = True, cb_plane=None, cr_plane=None,
-                 nxn: bool = True):
+                 nxn: bool = True, max_depth: int = 3):
     """Run the partition/mode search for all CTUs of one frame.
 
     y_plane: [pad_h, pad_w] luma (uint8/int32).
@@ -306,6 +321,11 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
     cb_plane/cr_plane: optional [pad_h//2, pad_w//2] chroma; when given
       (and rd_refine) the tree decisions include the DM-mode chroma RD
       contribution (HM weighs all three components in xCheckBestMode).
+    max_depth (static): do not evaluate CU depths beyond this — the
+      TPU analogue of the reference's RD-check skipping (TEncCu.cpp:
+      862-873 bCheckSub): the caller narrows whole frames to a shallower
+      compiled program when the HCPM gates rule the deep levels out
+      (AIEncoder.max_depth_exit). Clamped up to the forced-split floor.
     Returns SearchResult.
     """
     B = ctu_origins.shape[0]
@@ -313,9 +333,16 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
     lam = jnp.float32(0.57 * 2.0 ** ((qp - 12) / 3.0))
     lam_sqrt = jnp.sqrt(lam)
 
+    max_depth = min(3, max(max_depth, forced_depth_floor(pad_w, pad_h)))
+    INF = jnp.float32(3.4e38)
     modes = {}
     satds = {}
     for d in range(4):
+        if d > max_depth:
+            # never selected (infinite cost below); shape placeholders
+            modes[d] = jnp.zeros((B, 4 ** d), jnp.int32)
+            satds[d] = jnp.full((B, 4 ** d), INF)
+            continue
         m, s = _best_mode_per_node(y_plane, ctu_origins, d, pad_w, pad_h,
                                    n_ctu_x)
         modes[d] = m
@@ -327,9 +354,10 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
         # true RD leaf costs (SSE + lambda*bits) for the SATD-chosen mode;
         # per-CU overhead: intra dir ~5.5 bits + flags/cbfs ~4 bits
         ovh = lam * 9.5
-        costs = {d: _refined_costs(y_plane, ctu_origins, d, modes[d], qp,
-                                   lam, pad_w=pad_w, pad_h=pad_h,
-                                   n_ctu_x=n_ctu_x) + ovh
+        costs = {d: (_refined_costs(y_plane, ctu_origins, d, modes[d], qp,
+                                    lam, pad_w=pad_w, pad_h=pad_h,
+                                    n_ctu_x=n_ctu_x) + ovh
+                     if d <= max_depth else satds[d])
                  for d in range(4)}
         chroma_cost = None
         if cb_plane is not None:
@@ -346,9 +374,9 @@ def search_frame(y_plane, ctu_origins, *, pad_w, pad_h, n_ctu_x, qp,
                         bits_qp=qp)
                 return out
 
-            for d in range(4):
+            for d in range(max_depth + 1):
                 costs[d] = costs[d] + chroma_cost(d, modes[d])
-        if nxn:
+        if nxn and max_depth == 3:
             # NxN candidate at depth 3: four 4x4 PUs/TUs (DST), competing
             # against 2Nx2N per 8x8 CU (HM xCheckRDCostIntra SIZE_NxN).
             m4, _ = _best_mode_per_node(y_plane, ctu_origins, 4, pad_w,

@@ -100,6 +100,52 @@ InternalBitDepth: 8
 """
 
 
+def hm_ldp_cfg(width, height, qp, n_frames):
+    """Minimal HM low-delay-P config mirroring the reference operating
+    point (encoder_lowdelay_P_main.cfg: GOPSize 4, QP offsets 3/2/3/1,
+    4 active references, TZ search, RDOQ+SAO on)."""
+    return f"""
+InputBitDepth: 8
+FrameRate: 30
+FrameSkip: 0
+SourceWidth: {width}
+SourceHeight: {height}
+FramesToBeEncoded: {n_frames}
+Profile: main
+IntraPeriod: -1
+DecodingRefreshType: 0
+GOPSize: 4
+Frame1:  P 1 3 0.4624 0 0 0 4 4 -1 -5 -9 -13 0
+Frame2:  P 2 2 0.4624 0 0 0 4 4 -1 -2 -6 -10 1 -1 5 1 1 1 0 1
+Frame3:  P 3 3 0.4624 0 0 0 4 4 -1 -3 -7 -11 1 -1 5 0 1 1 1 1
+Frame4:  P 4 1 0.578  0 0 0 4 4 -1 -4 -8 -12 1 -1 5 0 1 1 1 1
+MaxCUWidth: 64
+MaxCUHeight: 64
+MaxPartitionDepth: 4
+QuadtreeTULog2MaxSize: 5
+QuadtreeTULog2MinSize: 2
+QuadtreeTUMaxDepthInter: 3
+QuadtreeTUMaxDepthIntra: 3
+FastSearch: 1
+SearchRange: 64
+HadamardME: 1
+FEN: 1
+FDM: 1
+QP: {qp}
+TransformSkip: 0
+TransformSkipFast: 0
+SAO: 1
+AMP: 1
+RDOQ: 1
+RDOQTS: 1
+RateControl: 0
+LoopFilterOffsetInPPS: 1
+LoopFilterDisable: 0
+SEIDecodedPictureHash: 1
+InternalBitDepth: 8
+"""
+
+
 def extract_labels_hm(frames, qp: int, width: int, height: int,
                       workdir: str = None, timeout: int = 1800):
     """Run the HM Extract_Data encoder; parse its CU-depth dumps.

@@ -39,6 +39,8 @@ class TrainConfig:
     eval_batch: int = 512
     seed: int = 0
     log: bool = True
+    ckpt_path: Optional[str] = None   # periodic full-state checkpoint
+                                      # (resume via train(resume_from=...))
 
 
 def make_train_step(tx):
@@ -51,8 +53,16 @@ def make_train_step(tx):
             return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # NaN guard (round-1 training log had a blowup at qp30~35): a
+        # non-finite loss or gradient makes the whole step a no-op
+        # instead of poisoning params/momentum.
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        keep = lambda new, old: jnp.where(ok, new, old)
+        params = jax.tree.map(keep, new_params, params)
+        opt_state = jax.tree.map(keep, new_opt, opt_state)
         return params, opt_state, loss, aux
 
     return step
@@ -66,8 +76,14 @@ def eval_step(params, luma, qp, depth4):
 
 
 def train(luma, qp, depth4, cfg: TrainConfig,
-          params=None, valid=None):
+          params=None, valid=None, resume_from: Optional[str] = None):
     """Train ETH-CNN on (luma [N,64,64], qp [N], depth4 [N,4,4]).
+
+    resume_from: path of a .npz written by save_train_state — restores
+    params + optimizer state, replays the logged history, and skips the
+    data stream forward to the saved iteration (the reference's
+    IS_RELOAD flow, ETH-LSTM_Training_LDP/train_LSTM_CTU64.py:40-41 —
+    model restore + loss_accuracy_list replay + data-skip).
 
     Returns (params, history list of dicts).
     """
@@ -84,10 +100,17 @@ def train(luma, qp, depth4, cfg: TrainConfig,
     step_fn = make_train_step(tx)
 
     history = []
+    start_iter = 0
+    if resume_from is not None:
+        params, opt_state, start_iter, history = load_train_state(
+            resume_from, opt_state)
+        key = jax.random.fold_in(key, start_iter)
     best = (np.inf, params)
     t0 = time.time()
     gen = dataset.batches(luma, qp, depth4, cfg.batch_size, rng, cfg.iters)
     for it, (bl, bq, bd) in enumerate(gen):
+        if it < start_iter:
+            continue    # data-skip: resume the stream position
         key, sub = jax.random.split(key)
         params, opt_state, loss, aux = step_fn(
             params, opt_state, jnp.asarray(bl), jnp.asarray(bq),
@@ -111,6 +134,9 @@ def train(luma, qp, depth4, cfg: TrainConfig,
             history.append(rec)
             if np.isfinite(rec["valid_loss"]) and rec["valid_loss"] < best[0]:
                 best = (rec["valid_loss"], jax.tree.map(lambda a: a, params))
+            if cfg.ckpt_path:
+                save_train_state(cfg.ckpt_path, params, opt_state,
+                                 it + 1, history)
             if cfg.log:
                 print(f"it {rec['iter']}: loss {rec['train_loss']:.4f} "
                       f"valid {rec['valid_loss']:.4f} acc "
@@ -127,6 +153,32 @@ def save_params(path, params):
 def load_params(path):
     z = np.load(path)
     return {k: jnp.asarray(z[k]) for k in z.files}
+
+
+def save_train_state(path, params, opt_state, it: int, history):
+    """Checkpoint the full training state for IS_RELOAD-style resume."""
+    import json
+    flat, _ = jax.tree.flatten(opt_state)
+    np.savez(path,
+             __iter__=np.int64(it),
+             __history__=np.frombuffer(
+                 json.dumps(history).encode(), dtype=np.uint8),
+             **{f"__opt_{i}__": np.asarray(a) for i, a in enumerate(flat)},
+             **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_train_state(path, opt_state_template):
+    """Inverse of save_train_state; opt_state_template supplies the
+    pytree structure (from tx.init on same-shaped params)."""
+    import json
+    z = np.load(path)
+    it = int(z["__iter__"])
+    history = json.loads(bytes(z["__history__"]).decode())
+    params = {k: jnp.asarray(z[k]) for k in z.files
+              if not k.startswith("__")}
+    flat, tdef = jax.tree.flatten(opt_state_template)
+    flat = [jnp.asarray(z[f"__opt_{i}__"]) for i in range(len(flat))]
+    return params, jax.tree.unflatten(tdef, flat), it, history
 
 
 QP_BANDS = {

@@ -222,3 +222,46 @@ def test_ldp_label_residue_extraction():
     assert depth4.max() <= 3
     # residue is 128-centered; a mostly-static synthetic pair stays close
     assert abs(float(resi.astype(np.int32).mean()) - 128.0) < 12.0
+
+
+def test_train_resume_and_nan_guard(tmp_path):
+    """IS_RELOAD-style resume (train_LSTM_CTU64.py:40-41 semantics):
+    interrupted run + resume reproduces the uninterrupted run's stream
+    position and history; a poisoned (NaN-producing) batch leaves the
+    parameters finite (step no-op guard)."""
+    rng = np.random.RandomState(3)
+    n = 128
+    luma = rng.randint(0, 256, (n, 64, 64)).astype(np.uint8)
+    depth4 = rng.randint(0, 4, (n, 4, 4)).astype(np.uint8)
+    qp = np.full((n,), 32, np.uint8)
+
+    ck = str(tmp_path / "state.npz")
+    cfg = train_cnn.TrainConfig(iters=6, eval_every=2, batch_size=16,
+                                eval_batch=64, log=False, ckpt_path=ck)
+    params_full, hist_full = train_cnn.train(luma, qp, depth4, cfg)
+
+    # interrupted at iter 2 (checkpoint written at eval point), resume
+    cfg_short = train_cnn.TrainConfig(iters=2, eval_every=2, batch_size=16,
+                                      eval_batch=64, log=False, ckpt_path=ck)
+    train_cnn.train(luma, qp, depth4, cfg_short)
+    params_res, hist_res = train_cnn.train(luma, qp, depth4, cfg,
+                                           resume_from=ck)
+    assert [h["iter"] for h in hist_res] == [h["iter"] for h in hist_full]
+    assert hist_res[0]["iter"] == 2   # replayed from the checkpoint
+
+    # NaN guard: a batch whose labels are NaN must not poison params
+    import jax
+    import jax.numpy as jnp
+    import optax
+    p0 = train_cnn.eth_cnn.init_params(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.sgd(0.01, momentum=0.9))
+    st = tx.init(p0)
+    step = train_cnn.make_train_step(tx)
+    bad = np.full((8, 4, 4), np.nan, np.float32)
+    p1, st1, loss, _ = step(p0, st, jnp.asarray(luma[:8]),
+                            jnp.asarray(qp[:8].astype(np.float32)),
+                            jnp.asarray(bad), jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss))
+    for k in p0:
+        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p0[k]))
