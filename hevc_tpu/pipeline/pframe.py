@@ -98,6 +98,26 @@ def encode_p_frame_device(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, *,
             rec_cr.astype(jnp.uint8), mv_q)
 
 
+def _gate_max_depth(hcpm_probs, thr, pad_w, pad_h) -> int:
+    """Deepest CU level any HCPM gate leaves open this frame, floored at
+    the forced-split depth (shared contract with AIEncoder
+    ._gate_max_depth; host-side scalar selecting a narrower compiled
+    inter-search program)."""
+    import numpy as np
+    from ..models import hcpm as hcpm_lib
+    from . import search as search_lib
+    cs = np.asarray(hcpm_lib.split_gates(hcpm_probs, thr)[1])
+    if cs[:, 5:21].any():
+        md = 3
+    elif cs[:, 1:5].any():
+        md = 2
+    elif cs[:, 0].any():
+        md = 1
+    else:
+        md = 0
+    return max(md, search_lib.forced_depth_floor(pad_w, pad_h))
+
+
 class LDPEncoder:
     """Low-Delay-P sequence encoder: IDR + full CU-tree P frames.
 
@@ -116,7 +136,8 @@ class LDPEncoder:
 
     def __init__(self, cfg, cnn_params=None, lstm_params=None,
                  thresholds=None, tree: str = "full",
-                 use_gop_qp: bool = True, slice_mode: str = "P"):
+                 use_gop_qp: bool = True, slice_mode: str = "P",
+                 max_depth_exit: bool = False):
         if cfg.pad_width % 64 or cfg.pad_height % 64:
             # LDP codes whole CTUs only; pad to 64-multiples and crop via
             # the SPS conformance window (reference 416x240 cfg works).
@@ -127,6 +148,9 @@ class LDPEncoder:
         self.tree = tree
         self.use_gop_qp = use_gop_qp
         self.slice_mode = slice_mode  # "B" = low-delay B operating point
+        # frame-level max-depth program narrowing from the HCPM gates
+        # (same contract as AIEncoder.max_depth_exit)
+        self.max_depth_exit = max_depth_exit and lstm_params is not None
         from .ai import AIEncoder
         from . import ldp as ldp_mod, psearch as psearch_mod
         self.intra = AIEncoder(cfg, cnn_params=cnn_params)
@@ -147,14 +171,15 @@ class LDPEncoder:
         off = offsets[(poc - 1) % len(offsets)]
         return min(51, self.cfg.qp + off)
 
-    def _search_fn(self, frame_qp: int, gated: bool):
-        key = (frame_qp, gated)
+    def _search_fn(self, frame_qp: int, gated: bool, max_depth: int = 3):
+        key = (frame_qp, gated, max_depth)
         if key not in self._p_jit:
             cfg = self.cfg
             thr = (self.predictor.thr if (gated and self.predictor)
                    else None)
             kw = dict(qp=frame_qp, pad_w=cfg.pad_width,
-                      pad_h=cfg.pad_height, use_rdoq=cfg.rdoq)
+                      pad_h=cfg.pad_height, use_rdoq=cfg.rdoq,
+                      max_depth=max_depth)
             if thr is not None:
                 kw.update(thr_up=thr.up, thr_down=thr.down)
             if self.tree == "flat":
@@ -226,7 +251,11 @@ class LDPEncoder:
                 ref_y = np.stack([r.y for r in rl]).astype(np.int32)
                 ref_cb = np.stack([r.cb for r in rl]).astype(np.int32)
                 ref_cr = np.stack([r.cr for r in rl]).astype(np.int32)
-                res = self._search_fn(frame_qp, hcpm is not None)(
+                md = 3
+                if self.max_depth_exit and hcpm is not None:
+                    md = _gate_max_depth(hcpm, self.predictor.thr,
+                                         cfg.pad_width, cfg.pad_height)
+                res = self._search_fn(frame_qp, hcpm is not None, md)(
                     pf.y.astype(np.int32), pf.cb.astype(np.int32),
                     pf.cr.astype(np.int32),
                     ref_y, ref_cb, ref_cr, origins,

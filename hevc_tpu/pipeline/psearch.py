@@ -119,7 +119,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                    hcpm_probs: Optional[jax.Array] = None,
                    thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
                    radius: int = 8, use_rdoq: bool = True,
-                   n_active_refs: int = 1):
+                   n_active_refs: int = 1, max_depth: int = 3):
     """Full quadtree inter search + coding of one P frame (jittable).
 
     cur_*: planes. ref_*: reference plane stacks [R, H, W] (RefPicList0
@@ -203,10 +203,26 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     lvl_cr_d, rr_cr_d = {}, {}
     pred_y_d, pred_cb_d, pred_cr_d = {}, {}, {}
 
+    max_depth = min(3, max(max_depth,
+                           search_lib.forced_depth_floor(pad_w, pad_h)))
     for d in range(4):
         n = 1 << d
         s = 64 >> d
         nd = n * n
+        if d > max_depth:
+            # frame-level early exit (same contract as the intra
+            # search_frame max_depth): never-selected placeholders
+            mv_maps[d] = jnp.zeros((B, n, n, 2), jnp.int32)
+            ref_maps[d] = jnp.zeros((B, n, n), jnp.int32)
+            cost_maps[d] = jnp.full((B, nd), jnp.float32(3.4e38))
+            sl = 64 // n
+            cl = 32 // n
+            z = jnp.zeros((B * nd, sl, sl), jnp.int32)
+            zc = jnp.zeros((B * nd, cl, cl), jnp.int32)
+            lvl_y_d[d] = rr_y_d[d] = pred_y_d[d] = z
+            lvl_cb_d[d] = rr_cb_d[d] = pred_cb_d[d] = zc
+            lvl_cr_d[d] = rr_cr_d[d] = pred_cr_d[d] = zc
+            continue
         sads = sad_by_depth[d].reshape(R, n_side * n_side, B * nd)
         best = jnp.argmin(sads, axis=1)                # [R, B*nd]
         sad_best = jnp.min(sads, axis=1).astype(jnp.float32)

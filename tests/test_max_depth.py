@@ -78,3 +78,36 @@ def test_forced_depth_floor():
     assert search.forced_depth_floor(416, 256) == 1   # 416 % 64 = 32
     assert search.forced_depth_floor(416, 240) == 2   # 240 % 32 = 16
     assert search.forced_depth_floor(120, 120) == 3
+
+
+def test_narrow_psearch_matches_full():
+    """Inter-search (LDP) max-depth narrowing reproduces the full
+    program's decisions when the gates close the deep levels."""
+    import jax.numpy as jnp
+    from hevc_tpu.pipeline import psearch
+
+    w = h = 128
+    cur = _plane(w, h, seed=1).astype(np.int32)
+    ref = np.roll(cur, 2, axis=1)
+    cb = np.full((h // 2, w // 2), 120, np.int32)
+    cr = np.full((h // 2, w // 2), 130, np.int32)
+    origins = jnp.asarray(search.ctu_grid(w, h))
+    B = origins.shape[0]
+    probs = np.full((B, 21), 0.1, np.float32)
+    probs[:, 0] = 0.9            # split 64 only
+    probs = jnp.asarray(probs)
+    thr = hcpm.DEFAULT_LDP
+    kw = dict(qp=32, pad_w=w, pad_h=h, hcpm_probs=probs,
+              thr_up=thr.up, thr_down=thr.down)
+    full = psearch.p_search_frame(cur, cb, cr, ref, cb, cr, origins, **kw)
+    narrow = psearch.p_search_frame(cur, cb, cr, ref, cb, cr, origins,
+                                    max_depth=1, **kw)
+    np.testing.assert_array_equal(np.asarray(full.depth8),
+                                  np.asarray(narrow.depth8))
+    assert int(np.asarray(full.depth8).max()) <= 1
+    np.testing.assert_array_equal(np.asarray(full.mv8),
+                                  np.asarray(narrow.mv8))
+    np.testing.assert_array_equal(np.asarray(full.coef_y),
+                                  np.asarray(narrow.coef_y))
+    np.testing.assert_array_equal(np.asarray(full.rec_y),
+                                  np.asarray(narrow.rec_y))

@@ -80,7 +80,8 @@ def encode_ai(frames, width, height, qp, gated, models_dir, early_exit):
     return len(stream) * 8, psnr_frames(recons, frames, width, height), dt
 
 
-def encode_ldp(frames, width, height, qp, gated, models_dir):
+def encode_ldp(frames, width, height, qp, gated, models_dir,
+               early_exit=False):
     from hevc_tpu.entropy.headers import EncoderConfig
     from hevc_tpu.pipeline.pframe import LDPEncoder
     from hevc_tpu.train.train_cnn import load_params, band_for_qp
@@ -90,7 +91,7 @@ def encode_ldp(frames, width, height, qp, gated, models_dir):
     if gated:
         p = os.path.join(models_dir, f"eth_lstm_{band_for_qp(qp)}.npz")
         lstm = load_params(p)
-    enc = LDPEncoder(cfg, lstm_params=lstm)
+    enc = LDPEncoder(cfg, lstm_params=lstm, max_depth_exit=early_exit)
     enc.encode(frames[:2], with_hash_sei=False)      # compile outside timer
     t0 = time.perf_counter()
     stream, recons = enc.encode(frames, with_hash_sei=False)[:2]
@@ -202,7 +203,8 @@ def main():
     if not args.no_ldp:
         print("[LDP gated]", flush=True)
         ldp_g = sweep(frames, args.width, args.height, args.qps,
-                      encode_ldp, gated=True, models_dir=args.models_dir)
+                      encode_ldp, gated=True, models_dir=args.models_dir,
+                      early_exit=args.early_exit)
         print("[LDP ungated]", flush=True)
         ldp_u = sweep(frames, args.width, args.height, args.qps,
                       encode_ldp, gated=False, models_dir=args.models_dir)
