@@ -243,12 +243,14 @@ def md5_plane(plane: np.ndarray) -> bytes:
 
 def crc_plane(plane: np.ndarray) -> bytes:
     """CRC-16 picture hash (D.3.19 hash_type 1): poly 0x1021 MSB-first,
-    init 0xFFFF, 16 zero bits appended — i.e. standard CRC-16/CCITT-FALSE
-    over the raster sample bytes (8-bit depth). HM: TComPicYuvMD5.cpp
-    compCRC."""
+    bit-serial init 0xFFFF with 16 zero bits appended (HM:
+    TComPicYuvMD5.cpp compCRC).  Equivalent closed form: table-driven
+    CRC-CCITT with init 0x1D0F (= 0xFFFF flushed through 16 feedback
+    steps), i.e. CRC-16/AUG-CCITT — verified bit-identical to the
+    bit-serial HM algorithm."""
     import binascii
     crc = binascii.crc_hqx(
-        np.ascontiguousarray(plane, np.uint8).tobytes(), 0xFFFF)
+        np.ascontiguousarray(plane, np.uint8).tobytes(), 0x1D0F)
     return bytes([(crc >> 8) & 0xFF, crc & 0xFF])
 
 
