@@ -345,6 +345,63 @@ static int sig_ctx_inc(int pattern, int px, int py, int n, bool is_luma,
   return first_ctx + ((not_first && is_luma) ? 3 : 0) + cnt;
 }
 
+// ----- per-CTU SAO parameter syntax (7.3.8.3; twin of
+// entropy/sao_syntax.py code_sao_ctu). type: 0 none / 1 band / 2 edge.
+struct SaoParams {
+  const int32_t *type_idx, *eo_class, *band_pos, *offsets;
+  int n_ctu;
+  bool valid() const { return type_idx != nullptr; }
+  bool same(int i, int j) const {
+    for (int comp = 0; comp < 3; ++comp) {
+      int a = comp * n_ctu + i, b = comp * n_ctu + j;
+      if (type_idx[a] != type_idx[b]) return false;
+      int t = type_idx[a];
+      if (t == 2 && eo_class[a] != eo_class[b]) return false;
+      if (t == 1 && band_pos[a] != band_pos[b]) return false;
+      if (t != 0)
+        for (int k = 0; k < 4; ++k)
+          if (offsets[a * 4 + k] != offsets[b * 4 + k]) return false;
+    }
+    return true;
+  }
+};
+
+static void code_sao_ctu(Cabac& c, const SaoParams& p, int ci, int cx,
+                         int cy, int nx) {
+  bool merge_left = cx > 0 && p.same(ci, ci - 1);
+  if (cx > 0) c.bin(CTX_SAO_MERGE, merge_left);
+  if (!merge_left && cy > 0) {
+    bool merge_up = p.same(ci, ci - nx);
+    c.bin(CTX_SAO_MERGE, merge_up);
+    if (merge_up) return;
+  }
+  if (merge_left) return;
+  for (int comp = 0; comp < 3; ++comp) {
+    int base = comp * p.n_ctu + ci;
+    int t = p.type_idx[base];
+    if (comp <= 1) {  // sao_type_idx_luma / _chroma (cr copies cb)
+      c.bin(CTX_SAO_TYPE, t > 0);
+      if (t > 0) c.ep(t == 2);
+    }
+    if (t == 0) continue;
+    for (int k = 0; k < 4; ++k) {  // sao_offset_abs: TR cMax=7 bypass
+      int v = p.offsets[base * 4 + k];
+      int a = v < 0 ? -v : v;
+      for (int j = 0; j < a; ++j) c.ep(1);
+      if (a < 7) c.ep(0);
+    }
+    if (t == 1) {  // band: signs + band position
+      for (int k = 0; k < 4; ++k) {
+        int v = p.offsets[base * 4 + k];
+        if (v != 0) c.ep(v < 0);
+      }
+      c.eps((uint32_t)p.band_pos[base], 5);
+    } else if (comp <= 1) {  // edge: sao_eo_class_luma / _chroma
+      c.eps((uint32_t)p.eo_class[base], 2);
+    }
+  }
+}
+
 struct SliceEnc {
   Cabac& c;
   const int32_t *depth8, *modes8, *coef_y, *coef_cb, *coef_cr;
@@ -699,32 +756,117 @@ static inline int64_t zaddr(int gx, int gy, int n_ctu_x) {
   return (int64_t)(cy * n_ctu_x + cx) * 256 + morton;
 }
 
+// POC-distance MV scaling (8.5.3.2.8; twin of entropy/motion.scale_mv)
+static inline int clip3i(int lo, int hi, int v) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+static void scale_mv(const int mv[2], int tb, int td, int out[2]) {
+  if (tb == td) { out[0] = mv[0]; out[1] = mv[1]; return; }
+  td = clip3i(-128, 127, td);
+  tb = clip3i(-128, 127, tb);
+  int atd = td < 0 ? -td : td;
+  // floor division (num >= 0; td > 0 for past refs, general otherwise)
+  int num = 16384 + (atd >> 1);
+  int tx = num / td;
+  if (td < 0 && tx * td != num) --tx;
+  int dsf = clip3i(-4096, 4095, (tb * tx + 32) >> 6);
+  for (int i = 0; i < 2; ++i) {
+    long long p = (long long)dsf * mv[i];
+    long long ap = p < 0 ? -p : p;
+    long long s = (ap + 127) >> 8;
+    out[i] = (int)clip3i(-32768, 32767, (int)(p >= 0 ? s : -s));
+  }
+}
+
 struct PSliceEnc {
   Cabac& c;
   const int32_t *depth8, *mvq8, *coef_y, *coef_cb, *coef_cr;
   int W, H, W8, Wc, n_ctu_x;
   std::vector<uint8_t> skip8;  // coded-CU skip flags, 8x8 granularity
   bool is_b = false;           // low-delay B: code inter_pred_idc per PU
+  // multi-reference state (twin of entropy/motion.py MotionField)
+  const int32_t* ref8 = nullptr;      // L0 refIdx per 8x8 (null = all 0)
+  int n_refs = 1;
+  int poc = 1;
+  const int32_t* ref_pocs = nullptr;  // [n_refs] POC of each L0 ref
+  // intra-in-P decisions (twin of PSliceEncoder intra8/imodes4)
+  const int32_t* intra8 = nullptr;    // per 8x8: CU intra-coded
+  const int32_t* imodes4 = nullptr;   // per 4x4: intra mode (DC at inter)
+
+  struct Mot { int x, y, ref; bool ok; };
+
+  bool intra_at(int x, int y) const {
+    return intra8 && intra8[(y >> 3) * W8 + (x >> 3)] != 0;
+  }
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
   void mv_at(int x, int y, int mv[2]) const {
     mv[0] = mvq8[((y >> 3) * W8 + (x >> 3)) * 2 + 0];
     mv[1] = mvq8[((y >> 3) * W8 + (x >> 3)) * 2 + 1];
   }
+  int ref_at(int x, int y) const {
+    return ref8 ? ref8[(y >> 3) * W8 + (x >> 3)] : 0;
+  }
   bool avail(int xn, int yn, int64_t cur_z) const {
     if (xn < 0 || yn < 0 || xn >= W || yn >= H) return false;
     return zaddr(xn, yn, n_ctu_x) < cur_z;
   }
-  void amvp0(int x0, int y0, int w, int h, int mvp[2]) const {
+  Mot at(int xn, int yn, int64_t cur_z) const {
+    if (!avail(xn, yn, cur_z)) return {0, 0, 0, false};
+    if (intra_at(xn, yn)) return {0, 0, 0, false};  // 6.4.1 inter-only
+    int mv[2]; mv_at(xn, yn, mv);
+    return {mv[0], mv[1], ref_at(xn, yn), true};
+  }
+  int ref_poc(int r) const { return ref_pocs ? ref_pocs[r] : poc - 1 - r; }
+
+  // Two-entry AMVP list (8.5.3.2.6-8; twin of motion.amvp_candidates):
+  // same-ref scans first, scaled fallbacks per the isScaledFlag rule.
+  void amvp2(int x0, int y0, int w, int h, int target_ref,
+             int mvp[2][2]) const {
     int64_t cur = zaddr(x0, y0, n_ctu_x);
-    const int A[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
-    for (int i = 0; i < 2; ++i)
-      if (avail(A[i][0], A[i][1], cur)) { mv_at(A[i][0], A[i][1], mvp); return; }
-    const int B[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
-                         {x0 - 1, y0 - 1}};
-    for (int i = 0; i < 3; ++i)
-      if (avail(B[i][0], B[i][1], cur)) { mv_at(B[i][0], B[i][1], mvp); return; }
-    mvp[0] = mvp[1] = 0;
+    int tgt_poc = ref_poc(target_ref);
+    const int a_pos[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
+    const int b_pos[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
+                             {x0 - 1, y0 - 1}};
+    auto same_ref_scan = [&](const int (*pos)[2], int np, int out[2]) {
+      for (int i = 0; i < np; ++i) {
+        Mot m = at(pos[i][0], pos[i][1], cur);
+        if (m.ok && ref_poc(m.ref) == tgt_poc) {
+          out[0] = m.x; out[1] = m.y; return true;
+        }
+      }
+      return false;
+    };
+    auto scaled_scan = [&](const int (*pos)[2], int np, int out[2]) {
+      for (int i = 0; i < np; ++i) {
+        Mot m = at(pos[i][0], pos[i][1], cur);
+        if (m.ok) {
+          int tb = poc - tgt_poc, td = poc - ref_poc(m.ref);
+          int mv[2] = {m.x, m.y};
+          scale_mv(mv, tb, td, out);
+          return true;
+        }
+      }
+      return false;
+    };
+    bool is_scaled = at(a_pos[0][0], a_pos[0][1], cur).ok ||
+                     at(a_pos[1][0], a_pos[1][1], cur).ok;
+    int mv_a[2], mv_b[2];
+    bool ha = same_ref_scan(a_pos, 2, mv_a);
+    if (!ha && is_scaled) ha = scaled_scan(a_pos, 2, mv_a);
+    bool hb = same_ref_scan(b_pos, 3, mv_b);
+    if (!is_scaled) {
+      // B promoted into the A slot, B re-derived by the scaled scan
+      if (hb) { mv_a[0] = mv_b[0]; mv_a[1] = mv_b[1]; }
+      ha = hb;
+      hb = scaled_scan(b_pos, 3, mv_b);
+    }
+    int n = 0;
+    if (ha) { mvp[n][0] = mv_a[0]; mvp[n][1] = mv_a[1]; ++n; }
+    if (hb && !(ha && mv_b[0] == mv_a[0] && mv_b[1] == mv_a[1])) {
+      mvp[n][0] = mv_b[0]; mvp[n][1] = mv_b[1]; ++n;
+    }
+    for (; n < 2; ++n) { mvp[n][0] = 0; mvp[n][1] = 0; }
   }
 
   bool tu_cbf(int plane, int x0, int y0, int size) const {
@@ -785,45 +927,53 @@ struct PSliceEnc {
     }
   }
 
-  // Normative merge candidate list (8.5.3.2.3) under the all-inter /
-  // single-ref / TMVP-off simplifications (twin of Python
-  // merge_candidates in entropy/slice_enc_p.py).
-  int merge_cands(int x0, int y0, int size, int cands[5][2]) const {
+  // Normative merge candidate list (8.5.3.2.3), uni-L0, TMVP off
+  // (twin of entropy/motion.merge_candidates): spatial A1 B1 B0 A0
+  // (+B2 when fewer than 4), pruned on full motion (mv AND refIdx),
+  // zero-MV fill iterating refIdx 0..n_refs-1.
+  int merge_cands(int x0, int y0, int size, int cands[5][3]) const {
     int64_t cur = zaddr(x0, y0, n_ctu_x);
-    int a1[2], b1[2], b0[2], a0[2], b2[2];
-    bool ha1 = avail(x0 - 1, y0 + size - 1, cur);
-    bool hb1 = avail(x0 + size - 1, y0 - 1, cur);
-    bool hb0 = avail(x0 + size, y0 - 1, cur);
-    bool ha0 = avail(x0 - 1, y0 + size, cur);
-    if (ha1) mv_at(x0 - 1, y0 + size - 1, a1);
-    if (hb1) mv_at(x0 + size - 1, y0 - 1, b1);
-    if (hb0) mv_at(x0 + size, y0 - 1, b0);
-    if (ha0) mv_at(x0 - 1, y0 + size, a0);
-    auto same = [](bool ha, const int* a, bool hb, const int* b) {
-      return ha && hb && a[0] == b[0] && a[1] == b[1];
+    Mot a1 = at(x0 - 1, y0 + size - 1, cur);
+    Mot b1 = at(x0 + size - 1, y0 - 1, cur);
+    Mot b0 = at(x0 + size, y0 - 1, cur);
+    Mot a0 = at(x0 - 1, y0 + size, cur);
+    auto same = [](const Mot& a, const Mot& b) {
+      return a.ok && b.ok && a.x == b.x && a.y == b.y && a.ref == b.ref;
     };
     int n = 0;
-    if (ha1) { cands[n][0] = a1[0]; cands[n][1] = a1[1]; ++n; }
-    if (hb1 && !same(hb1, b1, ha1, a1)) {
-      cands[n][0] = b1[0]; cands[n][1] = b1[1]; ++n;
-    }
-    if (hb0 && !same(hb0, b0, hb1, b1)) {
-      cands[n][0] = b0[0]; cands[n][1] = b0[1]; ++n;
-    }
-    if (ha0 && !same(ha0, a0, ha1, a1)) {
-      cands[n][0] = a0[0]; cands[n][1] = a0[1]; ++n;
-    }
+    auto push = [&](const Mot& m) {
+      cands[n][0] = m.x; cands[n][1] = m.y; cands[n][2] = m.ref; ++n;
+    };
+    if (a1.ok) push(a1);
+    if (b1.ok && !same(b1, a1)) push(b1);
+    if (b0.ok && !same(b0, b1)) push(b0);
+    if (a0.ok && !same(a0, a1)) push(a0);
     if (n < 4) {
-      bool hb2 = avail(x0 - 1, y0 - 1, cur);
-      if (hb2) {
-        mv_at(x0 - 1, y0 - 1, b2);
-        if (!same(hb2, b2, ha1, a1) && !same(hb2, b2, hb1, b1)) {
-          cands[n][0] = b2[0]; cands[n][1] = b2[1]; ++n;
-        }
+      Mot b2 = at(x0 - 1, y0 - 1, cur);
+      if (b2.ok && !same(b2, a1) && !same(b2, b1)) push(b2);
+    }
+    int zero_idx = 0;
+    while (n < 5) {
+      int r = zero_idx < n_refs ? zero_idx : 0;
+      cands[n][0] = 0; cands[n][1] = 0; cands[n][2] = r; ++n;
+      ++zero_idx;
+    }
+    return 5;
+  }
+
+  // ref_idx_l0: TU cMax = n_refs-1; bin0/bin1 context-coded, rest
+  // bypass (HM codeRefFrmIdx; twin of PSliceEncoder._write_ref_idx)
+  void write_ref_idx(int ref) {
+    c.bin(CTX_REF_PIC + 0, ref > 0);
+    if (ref > 0) {
+      int rem = ref - 1, cmax = n_refs - 2;
+      for (int i = 0; i < cmax; ++i) {
+        int bit = (i == rem) ? 0 : 1;
+        if (i == 0) c.bin(CTX_REF_PIC + 1, bit);
+        else c.ep(bit);
+        if (bit == 0) break;
       }
     }
-    while (n < 5) { cands[n][0] = 0; cands[n][1] = 0; ++n; }
-    return 5;
   }
 
   void write_merge_idx(int idx) {
@@ -843,13 +993,35 @@ struct PSliceEnc {
   }
 
   void coding_unit(int x0, int y0, int size) {
+    if (intra_at(x0, y0)) {
+      // intra-in-P CU (pred_mode_flag = 1, 2Nx2N; twin of
+      // PSliceEncoder._intra_coding_unit). The intra syntax machinery
+      // is shared with the I-slice coder via a local SliceEnc view
+      // whose modes4 = imodes4 (DC at inter positions).
+      c.bin(CTX_SKIP + skip_ctx_inc(x0, y0), 0);
+      c.bin(CTX_PRED_MODE, 1);
+      if (size == 8) c.bin(CTX_PART_MODE, 1);  // 2Nx2N at min size
+      SliceEnc se{c, depth8, nullptr, coef_y, coef_cb, coef_cr,
+                  W, H, W8, Wc, imodes4, nullptr};
+      int mode = imodes4[(y0 >> 2) * (W8 * 2) + (x0 >> 2)];
+      int mpm[3];
+      se.mpm_for4(x0, y0, mpm);
+      bool in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
+      c.bin(CTX_PREV_INTRA, in_mpm ? 1 : 0);
+      se.code_mode_payload(mode, mpm);
+      c.bin(CTX_CHROMA_PRED, 0);  // DM
+      se.transform_tree(x0, y0, size, mode);
+      return;
+    }
     int mv[2];
     mv_at(x0, y0, mv);
-    int cands[5][2];
+    int ref = ref_at(x0, y0);
+    int cands[5][3];
     merge_cands(x0, y0, size, cands);
     int merge_idx = -1;
     for (int i = 0; i < 5; ++i)
-      if (cands[i][0] == mv[0] && cands[i][1] == mv[1]) {
+      if (cands[i][0] == mv[0] && cands[i][1] == mv[1] &&
+          cands[i][2] == ref) {
         merge_idx = i;
         break;
       }
@@ -883,8 +1055,20 @@ struct PSliceEnc {
       c.bin(CTX_INTER_DIR + depth, 0);
       c.bin(CTX_INTER_DIR + 4, 0);
     }
-    int mvp[2];
-    amvp0(x0, y0, size, size, mvp);
+    if (n_refs > 1) write_ref_idx(ref);
+    int mvps[2][2];
+    amvp2(x0, y0, size, size, ref, mvps);
+    // single-ref keeps the historical mvp_l0_flag=0 choice (byte-compat
+    // with the Python twin); multi-ref picks the cheaper predictor
+    int mvp_idx = 0;
+    if (n_refs > 1) {
+      int c0 = (mv[0] - mvps[0][0] < 0 ? mvps[0][0] - mv[0] : mv[0] - mvps[0][0])
+             + (mv[1] - mvps[0][1] < 0 ? mvps[0][1] - mv[1] : mv[1] - mvps[0][1]);
+      int c1 = (mv[0] - mvps[1][0] < 0 ? mvps[1][0] - mv[0] : mv[0] - mvps[1][0])
+             + (mv[1] - mvps[1][1] < 0 ? mvps[1][1] - mv[1] : mv[1] - mvps[1][1]);
+      mvp_idx = c1 < c0 ? 1 : 0;
+    }
+    const int* mvp = mvps[mvp_idx];
     int mvd[2] = {mv[0] - mvp[0], mv[1] - mvp[1]};
     int ax = mvd[0] < 0 ? -mvd[0] : mvd[0];
     int ay = mvd[1] < 0 ? -mvd[1] : mvd[1];
@@ -900,7 +1084,7 @@ struct PSliceEnc {
       if (ay > 1) eg1(ay - 2);
       c.ep(mvd[1] < 0);
     }
-    c.bin(CTX_MVP_IDX, 0);
+    c.bin(CTX_MVP_IDX, mvp_idx);
     c.bin(CTX_QT_ROOT_CBF, root);
     if (root) transform_tree(x0, y0, size, ccb, ccr);
   }
@@ -934,17 +1118,29 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
                                    const int32_t* coef_cr,
                                    int pad_w, int pad_h, int qp,
                                    uint8_t* out, int out_cap,
-                                   int is_b) {
+                                   int is_b,
+                                   const int32_t* ref8,
+                                   int n_refs, int poc,
+                                   const int32_t* ref_pocs,
+                                   const int32_t* sao_type,
+                                   const int32_t* sao_eo,
+                                   const int32_t* sao_band,
+                                   const int32_t* sao_off,
+                                   const int32_t* intra8,
+                                   const int32_t* imodes4) {
   BitWriter bw;
   Cabac cab(bw, qp, is_b ? kInitB : kInitP);
-  PSliceEnc se{cab, depth8, mvq8, coef_y, coef_cb, coef_cr,
-               pad_w, pad_h, pad_w / 8, pad_w / 2, (pad_w + 63) / 64,
-               std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0),
-               is_b != 0};
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
   int n_ctu = nx * ny;
+  PSliceEnc se{cab, depth8, mvq8, coef_y, coef_cb, coef_cr,
+               pad_w, pad_h, pad_w / 8, pad_w / 2, nx,
+               std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0),
+               is_b != 0, ref8, n_refs < 1 ? 1 : n_refs, poc, ref_pocs,
+               intra8, imodes4};
+  SaoParams sao{sao_type, sao_eo, sao_band, sao_off, n_ctu};
   for (int ci = 0; ci < n_ctu; ++ci) {
     int cy = ci / nx, cx = ci % nx;
+    if (sao.valid()) code_sao_ctu(cab, sao, ci, cx, cy, nx);
     se.coding_quadtree(cx * 64, cy * 64, 64, 0);
     cab.terminate(ci == n_ctu - 1 ? 1 : 0);
   }
@@ -960,15 +1156,21 @@ extern "C" int hevc_encode_slice(const int32_t* depth8, const int32_t* modes8,
                                  int pad_w, int pad_h, int qp,
                                  uint8_t* out, int out_cap,
                                  const int32_t* modes4,
-                                 const int32_t* nxn8) {
+                                 const int32_t* nxn8,
+                                 const int32_t* sao_type,
+                                 const int32_t* sao_eo,
+                                 const int32_t* sao_band,
+                                 const int32_t* sao_off) {
   BitWriter bw;
   Cabac cab(bw, qp);
   SliceEnc se{cab, depth8, modes8, coef_y, coef_cb, coef_cr,
               pad_w, pad_h, pad_w / 8, pad_w / 2, modes4, nxn8};
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
   int n_ctu = nx * ny;
+  SaoParams sao{sao_type, sao_eo, sao_band, sao_off, n_ctu};
   for (int ci = 0; ci < n_ctu; ++ci) {
     int cy = ci / nx, cx = ci % nx;
+    if (sao.valid()) code_sao_ctu(cab, sao, ci, cx, cy, nx);
     se.coding_quadtree(cx * 64, cy * 64, 64, 0);
     cab.terminate(ci == n_ctu - 1 ? 1 : 0);
   }

@@ -154,15 +154,33 @@ def predict_all_modes_mm(r_u, r_f, n, *, component="luma", bit_depth=8):
     return pred.at[:, 1].set(_dc_block(r_u, n, component, bit_depth))
 
 
+#: observability for the bench / driver: "pallas" once the kernel path
+#: has been traced, "xla-fallback:<err>" if the kernel raised and the
+#: matmul path took over, "xla" when pallas is off for the backend.
+LAST_SATD_PATH = "unused"
+
+
 def satd_all_modes(r_u, r_f, orig, n, *, component="luma", bit_depth=8):
     """[B, 35] Hadamard SATD of every intra mode vs `orig` [B, n, n]."""
+    global LAST_SATD_PATH
     if _use_pallas():
         try:
-            return _satd_all_modes_pallas(r_u, r_f, orig, n,
-                                          component=component,
-                                          bit_depth=bit_depth)
-        except Exception:
-            pass
+            out = _satd_all_modes_pallas(r_u, r_f, orig, n,
+                                         component=component,
+                                         bit_depth=bit_depth)
+            LAST_SATD_PATH = "pallas"
+            return out
+        except Exception as e:
+            # loud one-time warning: a silently-skipped kernel would
+            # make the bench measure the XLA path unnoticed
+            if not LAST_SATD_PATH.startswith("xla-fallback"):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "pallas satd kernel failed (n=%d): %s -- falling "
+                    "back to the XLA matmul path", n, e)
+            LAST_SATD_PATH = f"xla-fallback:{type(e).__name__}"
+    else:
+        LAST_SATD_PATH = "xla"
     preds = predict_all_modes_mm(r_u, r_f, n, component=component,
                                  bit_depth=bit_depth)
     block = 4 if n == 4 else 8

@@ -234,26 +234,27 @@ class AIEncoder:
 
 def entropy_encode_slice(cfg, decisions, qp=None) -> bytes:
     """Slice NAL: header (Python) + CABAC slice data (native C++ with
-    Python fallback, byte-identical - tests/test_native_entropy.py).
-    SAO-coded slices use the Python driver (C++ SAO port pending)."""
+    Python fallback, byte-identical - tests/test_native_entropy.py)."""
     qp = cfg.qp if qp is None else qp
     bw = headers.start_idr_slice(cfg, qp)
     sao = decisions.get("sao")
     modes4 = decisions.get("modes4")
     nxn8 = decisions.get("nxn8")
-    if sao is None:
-        try:
-            from .. import native
-            data = native.encode_slice_data(
-                decisions["depth8"], decisions["modes8"],
-                decisions["coef_y"], decisions["coef_cb"],
-                decisions["coef_cr"], cfg.pad_width, cfg.pad_height,
-                qp, modes4=modes4, nxn8=nxn8)
-            rbsp = bw.get_bytes() + data
-            from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
-            return nal_unit(NAL_IDR_W_RADL, rbsp)
-        except Exception:
-            pass
+    try:
+        from .. import native
+        data = native.encode_slice_data(
+            decisions["depth8"], decisions["modes8"],
+            decisions["coef_y"], decisions["coef_cb"],
+            decisions["coef_cr"], cfg.pad_width, cfg.pad_height,
+            qp, modes4=modes4, nxn8=nxn8, sao=sao)
+        rbsp = bw.get_bytes() + data
+        from ..entropy.bitstream import nal_unit, NAL_IDR_W_RADL
+        return nal_unit(NAL_IDR_W_RADL, rbsp)
+    except Exception:
+        import logging
+        logging.getLogger(__name__).warning(
+            "native entropy failed; falling back to Python CABAC",
+            exc_info=True)
     se = SliceEncoder(cfg, qp)
     se.encode(bw, decisions["depth8"], decisions["modes8"],
               decisions["coef_y"], decisions["coef_cb"],

@@ -109,11 +109,13 @@ def bench_encode_1080p(n_frames=8):
     except Exception:
         vs = -1.0
 
+    from ..ops import intra_mm
     return {
         "metric": "ai_encode_1080p",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(vs, 2),
-        "detail": {k: round(v, 3) for k, v in stats.items()},
+        "detail": {**{k: round(v, 3) for k, v in stats.items()},
+                   "satd_kernel": intra_mm.LAST_SATD_PATH},
         "stream_bytes": len(stream),
     }

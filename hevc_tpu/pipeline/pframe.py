@@ -288,6 +288,30 @@ class LDPEncoder:
                 mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
                 ref8 = ldp_mod.tiles_to_plane(res.ref8, W // 8,
                                               H // 8, 8).astype(np.int32)
+                intra8 = ldp_mod.tiles_to_plane(
+                    res.intra8, W // 8, H // 8, 8).astype(bool)
+                imode8 = ldp_mod.tiles_to_plane(
+                    res.imode8, W // 8, H // 8, 8).astype(np.int32)
+                if intra8.any():
+                    # normative re-code of intra CUs from reconstructed
+                    # neighbours, patching recon + coef planes in z-order
+                    from . import intra_p
+                    ry_p = np.asarray(rec.y, np.int32)
+                    rcb_p = np.asarray(rec.cb, np.int32)
+                    rcr_p = np.asarray(rec.cr, np.int32)
+                    coef_y = np.asarray(coef_y, np.int32)
+                    coef_cb = np.asarray(coef_cb, np.int32)
+                    coef_cr = np.asarray(coef_cr, np.int32)
+                    intra_p.patch_intra_cus(
+                        pf.y, pf.cb, pf.cr, ry_p, rcb_p, rcr_p,
+                        coef_y, coef_cb, coef_cr,
+                        np.asarray(depth8), intra8, imode8, frame_qp,
+                        W, H, rdoq=cfg.rdoq)
+                    rec = Frame(ry_p.astype(np.uint8),
+                                rcb_p.astype(np.uint8),
+                                rcr_p.astype(np.uint8))
+                else:
+                    intra8 = None
                 sao_params = None
                 if cfg.deblock or cfg.sao:
                     yy, cb_, cr_ = rec.y, rec.cb, rec.cr
@@ -295,7 +319,7 @@ class LDPEncoder:
                         from ..ops import deblock as dbk
                         yy, cb_, cr_ = dbk.deblock_frame_inter(
                             yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp,
-                            ref8=ref8)
+                            ref8=ref8, intra8=intra8)
                     if cfg.sao:
                         from ..ops import sao as sao_lib
                         sao_params = sao_lib.estimate_frame(
@@ -312,7 +336,8 @@ class LDPEncoder:
                                                  n_act))
                 chunks.append(self._p_slice_nal(
                     bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
-                    sao_params, ref8=ref8, n_refs=n_act, poc=poc))
+                    sao_params, ref8=ref8, n_refs=n_act, poc=poc,
+                    intra8=intra8, imode8=imode8))
             if rate_control:
                 rate_control.post_frame(
                     8 * sum(len(c) for c in chunks[n_chunks0:]))
@@ -328,28 +353,31 @@ class LDPEncoder:
 
     def _p_slice_nal(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                      frame_qp, sao_params=None, ref8=None, n_refs=1,
-                     poc=1):
-        """P slice data: native C++ CABAC when possible (no SAO and
-        single-ref for now), Python PSliceEncoder otherwise —
-        byte-identical paths."""
+                     poc=1, intra8=None, imode8=None):
+        """P slice data: native C++ CABAC (SAO + multi-ref + intra-in-P
+        capable), Python PSliceEncoder fallback — byte-identical paths."""
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
         cfg = self.cfg
-        if sao_params is None and n_refs == 1:
-            try:
-                from .. import native
-                data = native.encode_slice_data_p(
-                    depth8, mvq8, coef_y, coef_cb, coef_cr,
-                    cfg.pad_width, cfg.pad_height, frame_qp,
-                    is_b=self.slice_mode == "B")
-                from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
-                return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
-            except Exception:
-                pass
+        try:
+            from .. import native
+            data = native.encode_slice_data_p(
+                depth8, mvq8, coef_y, coef_cb, coef_cr,
+                cfg.pad_width, cfg.pad_height, frame_qp,
+                is_b=self.slice_mode == "B", ref8=ref8, n_refs=n_refs,
+                poc=poc, sao=sao_params, intra8=intra8, imode8=imode8)
+            from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
+            return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
+        except Exception:
+            import logging
+            logging.getLogger(__name__).warning(
+                "native P entropy failed; falling back to Python CABAC",
+                exc_info=True)
         pse = PSliceEncoder(cfg, frame_qp, slice_type=self.slice_mode,
                             n_refs=n_refs, poc=poc)
         pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
-                   sao=sao_params, ref8=ref8)
+                   sao=sao_params, ref8=ref8, intra8=intra8,
+                   imode8=imode8)
         return headers.finish_p_slice_nal(bw)
 
     def _encode_flat(self, pf, prev, poc, frame_qp):

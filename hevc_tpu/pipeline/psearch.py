@@ -47,6 +47,8 @@ class PSearchResult(NamedTuple):
     rec_y: jax.Array     # [B, 64, 64] uint8 reconstruction
     rec_cb: jax.Array    # [B, 32, 32] uint8
     rec_cr: jax.Array    # [B, 32, 32] uint8
+    intra8: jax.Array    # [B, 8, 8] bool: CU coded intra (intra-in-P)
+    imode8: jax.Array    # [B, 8, 8] int32 intra luma mode (where intra8)
 
 
 def _node_blocks(tiles, depth: int):
@@ -114,12 +116,50 @@ def _mvd_bits(mv_q, pred_q):
             ).sum(-1)
 
 
+def _neighbor_motion(mv_map, ref_map, B, n, nx, shift):
+    """Same-depth neighbour motion over the whole frame's node grid.
+
+    mv_map [B, n, n, 2], ref_map [B, n, n] with B = nx*ny CTUs in raster
+    order; shift = (0, 1) for the left neighbour, (1, 0) for above.
+    Frame-edge nodes fall back to the zero-MV/ref-0 candidate (the
+    normative zero-fill merge candidate, 8.5.3.2.3). Returns
+    (mv [B*n*n, 2], ref [B*n*n]) in node-block order.
+    """
+    ny = B // nx
+    # [B, n, n, ...] -> frame grid [ny*n, nx*n, ...]
+    def to_frame(a):
+        extra = a.shape[3:]
+        g = a.reshape((ny, nx, n, n) + extra)
+        g = jnp.moveaxis(g, 2, 1)          # [ny, n, nx, n, ...]
+        return g.reshape((ny * n, nx * n) + extra)
+
+    def to_blocks(g):
+        extra = g.shape[2:]
+        a = g.reshape((ny, n, nx, n) + extra)
+        a = jnp.moveaxis(a, 1, 2)
+        return a.reshape((B * n * n,) + extra)
+
+    dy, dx = shift
+    mv_g = to_frame(mv_map)
+    ref_g = to_frame(ref_map)
+    mv_s = jnp.roll(mv_g, (dy, dx), axis=(0, 1))
+    ref_s = jnp.roll(ref_g, (dy, dx), axis=(0, 1))
+    H, W = mv_g.shape[:2]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    valid = (yy >= dy) & (xx >= dx)
+    mv_s = jnp.where(valid[..., None], mv_s, 0)
+    ref_s = jnp.where(valid, ref_s, 0)
+    return to_blocks(mv_s), to_blocks(ref_s)
+
+
 def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                    ctu_origins, *, qp: int, pad_w: int, pad_h: int,
                    hcpm_probs: Optional[jax.Array] = None,
                    thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
                    radius: int = 8, use_rdoq: bool = True,
-                   n_active_refs: int = 1, max_depth: int = 3):
+                   n_active_refs: int = 1, max_depth: int = 3,
+                   merge_rd: bool = True, intra_in_p: bool = True):
     """Full quadtree inter search + coding of one P frame (jittable).
 
     cur_*: planes. ref_*: reference plane stacks [R, H, W] (RefPicList0
@@ -195,8 +235,11 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
         sad_by_depth[d] = pool(sad_by_depth[d + 1])
 
     # --- per-depth node ME + coding --------------------------------------
+    nx_ctu = -(-pad_w // 64)
     mv_maps = {}
     ref_maps = {}
+    intra_maps = {}
+    imode_maps = {}
     cost_maps = {}
     lvl_y_d, rr_y_d = {}, {}
     lvl_cb_d, rr_cb_d = {}, {}
@@ -214,6 +257,8 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             # search_frame max_depth): never-selected placeholders
             mv_maps[d] = jnp.zeros((B, n, n, 2), jnp.int32)
             ref_maps[d] = jnp.zeros((B, n, n), jnp.int32)
+            intra_maps[d] = jnp.zeros((B, n, n), bool)
+            imode_maps[d] = jnp.ones((B, n, n), jnp.int32)
             cost_maps[d] = jnp.full((B, nd), jnp.float32(3.4e38))
             sl = 64 // n
             cl = 32 // n
@@ -289,7 +334,138 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                        (B, nd, 2)).reshape(B * nd, 2)
         bits = (bits + _mvd_bits(mv_q, pred_mv) + 6.0   # flags overhead
                 + ref_bits_tab[ref_sel])                # ref_idx_l0 bins
-        cost_maps[d] = (sse + lam * bits).reshape(B, nd)
+        amvp_cost = sse + lam * bits
+
+        if merge_rd:
+            # --- RD-searched merge/skip (xCheckRDCostMerge2Nx2N,
+            # TEncCu.cpp:1274 behavioral counterpart): the left/above
+            # same-depth neighbours' (mv, ref) act as merge candidates,
+            # evaluated both as full modes (candidate motion + coded
+            # residual) and as zero-residual SKIP. The cheapest of
+            # {AMVP, merge, skip} wins the node; the winning motion is
+            # written to the motion maps, so the entropy stage's exact
+            # normative candidate derivation then prices it as
+            # skip/merge whenever the final neighbours agree.
+            cands = []
+            for shift in ((0, 1), (1, 0)):  # left, above
+                mv_c, ref_c = _neighbor_motion(mv_maps[d], ref_maps[d],
+                                               B, n, nx_ctu, shift)
+                p_c = inter.predict_inter_blocks(ref_y, node_org, mv_c, s,
+                                                 is_luma=True,
+                                                 ref_idx=ref_c)
+                pcb_c = inter.predict_inter_blocks(ref_cb, corg, mv_c,
+                                                   s // 2, is_luma=False,
+                                                   ref_idx=ref_c)
+                pcr_c = inter.predict_inter_blocks(ref_cr, corg, mv_c,
+                                                   s // 2, is_luma=False,
+                                                   ref_idx=ref_c)
+                dl = (cur_blocks - p_c).astype(jnp.float32)
+                db = (_node_blocks(cur_cb_t, d) - pcb_c
+                      ).astype(jnp.float32)
+                dr = (_node_blocks(cur_cr_t, d) - pcr_c
+                      ).astype(jnp.float32)
+                sse_c = ((dl * dl).sum((-2, -1)) + (db * db).sum((-2, -1))
+                         + (dr * dr).sum((-2, -1)))
+                cands.append((mv_c, ref_c, p_c, pcb_c, pcr_c, sse_c))
+
+            # better candidate by prediction SSE
+            pick_a = cands[1][5] < cands[0][5]  # above beats left
+            def sel(i):
+                a, b = cands[0][i], cands[1][i]
+                cond = pick_a.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(cond, b, a)
+            mv_m, ref_m = sel(0), sel(1)
+            pm_y, pm_cb, pm_cr = sel(2), sel(3), sel(4)
+            sse_skip = jnp.where(pick_a, cands[1][5], cands[0][5])
+
+            # SKIP: zero residual; rate ~ skip_flag + merge_idx bins
+            skip_cost = sse_skip + lam * 3.0
+
+            # merge with residual: full coding at the candidate motion
+            lvl_m, rr_m, mbits_y = _tu_transform(
+                cur_blocks.astype(jnp.int32) - pm_y, qp, tu, lam, use_rdoq)
+            lvl_mcb, rr_mcb, mbits_cb = _tu_transform(
+                _node_blocks(cur_cb_t, d).astype(jnp.int32) - pm_cb, cqp,
+                ctu_c, lam, use_rdoq, is_luma=False)
+            lvl_mcr, rr_mcr, mbits_cr = _tu_transform(
+                _node_blocks(cur_cr_t, d).astype(jnp.int32) - pm_cr, cqp,
+                ctu_c, lam, use_rdoq, is_luma=False)
+            rec_m = jnp.clip(pm_y + rr_m, 0, 255)
+            dm = (rec_m - cur_blocks).astype(jnp.float32)
+            sse_m = (dm * dm).sum((-2, -1))
+            rec_mcb = jnp.clip(pm_cb + rr_mcb, 0, 255)
+            rec_mcr = jnp.clip(pm_cr + rr_mcr, 0, 255)
+            dmb = (rec_mcb - _node_blocks(cur_cb_t, d)).astype(jnp.float32)
+            dmr = (rec_mcr - _node_blocks(cur_cr_t, d)).astype(jnp.float32)
+            sse_m = sse_m + (dmb * dmb).sum((-2, -1)) \
+                + (dmr * dmr).sum((-2, -1))
+            merge_cost = sse_m + lam * (mbits_y + mbits_cb + mbits_cr
+                                        + 5.0)
+
+            # cheapest of {AMVP, merge+resid, skip}
+            all_costs = jnp.stack([amvp_cost, merge_cost, skip_cost], 0)
+            choice = jnp.argmin(all_costs, axis=0)        # [B*nd]
+            amvp_cost = jnp.min(all_costs, axis=0)
+            use_cand = choice > 0
+            is_skip = choice == 2
+
+            def pick(orig, merged, skipped, ndim):
+                c1 = use_cand.reshape((-1,) + (1,) * (ndim - 1))
+                c2 = is_skip.reshape((-1,) + (1,) * (ndim - 1))
+                return jnp.where(c2, skipped, jnp.where(c1, merged, orig))
+
+            mv_q = pick(mv_q, mv_m, mv_m, 2)
+            ref_sel = pick(ref_sel, ref_m, ref_m, 1)
+            mv_maps[d] = mv_q.reshape(B, n, n, 2)
+            ref_maps[d] = ref_sel.reshape(B, n, n)
+            z = jnp.zeros_like(lvl)
+            lvl_y_d[d] = pick(lvl, lvl_m, z, 3)
+            rr_y_d[d] = pick(rr, rr_m, z, 3)
+            pred_y_d[d] = pick(pred, pm_y, pm_y, 3)
+            zc = jnp.zeros_like(lvl_cb)
+            lvl_cb_d[d] = pick(lvl_cb, lvl_mcb, zc, 3)
+            rr_cb_d[d] = pick(rr_cb, rr_mcb, zc, 3)
+            pred_cb_d[d] = pick(pred_cb, pm_cb, pm_cb, 3)
+            lvl_cr_d[d] = pick(lvl_cr, lvl_mcr, zc, 3)
+            rr_cr_d[d] = pick(rr_cr, rr_mcr, zc, 3)
+            pred_cr_d[d] = pick(pred_cr, pm_cr, pm_cr, 3)
+
+        if intra_in_p:
+            # --- intra escape inside P frames (TEncCu.cpp:1438 /
+            # HM-16.5_Test_LDP TEncCu.cpp:746-803): the AI search's
+            # SATD-best mode + refined RD cost (original-pixel refs, the
+            # same approximation as the AI path) competes per node with
+            # the inter modes. Winning nodes are re-coded normatively
+            # (recon-neighbour prediction) by the host patch pass
+            # (pframe.patch_intra_cus); their motion is zeroed so the
+            # motion maps stay well-defined.
+            m_i, _ = search_lib._best_mode_per_node(
+                cur_y, ctu_origins, d, pad_w, pad_h, nx_ctu)
+            icost = search_lib._refined_costs(
+                cur_y, ctu_origins, d, m_i, qp, lam, pad_w=pad_w,
+                pad_h=pad_h, n_ctu_x=nx_ctu)
+            dist_w = jnp.float32(2.0 ** ((qp - cqp) / 3.0))
+            for cp in (cur_cb, cur_cr):
+                icost = icost + search_lib._refined_chroma_costs(
+                    jnp.asarray(cp), ctu_origins, d, m_i, cqp, lam,
+                    dist_w, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx_ctu,
+                    bits_qp=qp)
+            # intra-in-P overhead: pred_mode + part + intra dir + cbfs
+            icost = (icost + lam * 11.5).reshape(-1)
+            is_intra = icost < amvp_cost
+            amvp_cost = jnp.minimum(icost, amvp_cost)
+            intra_maps[d] = is_intra.reshape(B, n, n)
+            imode_maps[d] = m_i.reshape(B, n, n)
+            zero_i = is_intra.reshape(-1, 1, 1)
+            mv_maps[d] = jnp.where(zero_i[..., None].reshape(B, n, n, 1),
+                                   0, mv_maps[d])
+            ref_maps[d] = jnp.where(is_intra.reshape(B, n, n), 0,
+                                    ref_maps[d])
+        else:
+            intra_maps[d] = jnp.zeros((B, n, n), bool)
+            imode_maps[d] = jnp.ones((B, n, n), jnp.int32)
+
+        cost_maps[d] = amvp_cost.reshape(B, nd)
 
     split0, split1, split2, depth8 = search_lib.decide_tree(
         cost_maps, ctu_origins, pad_w=pad_w, pad_h=pad_h,
@@ -328,9 +504,20 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
         for d in range(4)], -1)                         # [B, 8, 8, 4]
     ref8 = jnp.take_along_axis(
         ref_stack, depth8[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    intra_stack = jnp.stack([
+        jnp.repeat(jnp.repeat(intra_maps[d], 8 >> d, 1), 8 >> d, 2)
+        for d in range(4)], -1)
+    intra8 = jnp.take_along_axis(
+        intra_stack, depth8[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    imode_stack = jnp.stack([
+        jnp.repeat(jnp.repeat(imode_maps[d], 8 >> d, 1), 8 >> d, 2)
+        for d in range(4)], -1)
+    imode8 = jnp.take_along_axis(
+        imode_stack, depth8[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
     return PSearchResult(depth8=depth8, mv8=mv8, ref8=ref8,
                          coef_y=coef_y.astype(jnp.int16),
                          coef_cb=coef_cb.astype(jnp.int16),
                          coef_cr=coef_cr.astype(jnp.int16),
-                         rec_y=rec_y, rec_cb=rec_cb, rec_cr=rec_cr)
+                         rec_y=rec_y, rec_cb=rec_cb, rec_cr=rec_cr,
+                         intra8=intra8, imode8=imode8)

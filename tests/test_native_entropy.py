@@ -130,3 +130,168 @@ def test_native_b_slice_matches_python():
     c_bytes = native.encode_slice_data_p(
         depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, cfg.qp, is_b=True)
     assert c_bytes == py_bytes
+
+
+def _rand_sao(rng, n_ctu):
+    """Random-but-legal SaoParams over n_ctu CTUs (with repeats so the
+    merge_left/merge_up paths are exercised)."""
+    from hevc_tpu.ops.sao import SaoParams
+    type_idx = rng.randint(0, 3, (3, n_ctu)).astype(np.int32)
+    eo_class = rng.randint(0, 4, (3, n_ctu)).astype(np.int32)
+    band_pos = rng.randint(0, 32, (3, n_ctu)).astype(np.int32)
+    offsets = rng.randint(0, 8, (3, n_ctu, 4)).astype(np.int32)
+    # EO sign convention: cats 1,2 >= 0; cats 3,4 <= 0. Band: signed.
+    offsets[..., 2:] *= -1
+    band = type_idx == 1
+    offsets[band] = rng.randint(-7, 8, (int(band.sum()), 4))
+    # duplicate some CTUs from their left/up neighbour to hit merges
+    for ci in range(1, n_ctu):
+        if rng.rand() < 0.3:
+            src = ci - 1
+            type_idx[:, ci] = type_idx[:, src]
+            eo_class[:, ci] = eo_class[:, src]
+            band_pos[:, ci] = band_pos[:, src]
+            offsets[:, ci] = offsets[:, src]
+    return SaoParams(type_idx=type_idx, eo_class=eo_class,
+                     band_pos=band_pos, offsets=offsets)
+
+
+def test_native_i_slice_sao_matches_python():
+    """Native I-slice CABAC with SAO syntax == Python byte-for-byte."""
+    rng = np.random.RandomState(7)
+    cfg = headers.EncoderConfig(width=192, height=128, qp=32, sao=True)
+    W, H = cfg.pad_width, cfg.pad_height
+    depth8 = legalize_depth(rng.randint(0, 4, (H // 8, W // 8)))
+    modes8 = rng.randint(0, 35, (H // 8, W // 8)).astype(np.int32)
+    coef_y = (rng.randint(-6, 7, (H, W)) *
+              (rng.rand(H, W) < 0.12)).astype(np.int32)
+    coef_cb = (rng.randint(-4, 5, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.08)).astype(np.int32)
+    coef_cr = (rng.randint(-4, 5, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.06)).astype(np.int32)
+    # make modes uniform per CU so MPM derivation agrees
+    for y8 in range(H // 8):
+        for x8 in range(W // 8):
+            d = depth8[y8, x8]
+            s = 8 >> d
+            y0, x0 = (y8 // s) * s, (x8 // s) * s
+            modes8[y8, x8] = modes8[y0, x0]
+    sao = _rand_sao(rng, cfg.ctus_x * cfg.ctus_y)
+
+    bw = headers.start_idr_slice(cfg, cfg.qp)
+    hl = len(bw.get_bytes())
+    se = SliceEncoder(cfg, cfg.qp)
+    se.encode(bw, depth8, modes8, coef_y, coef_cb, coef_cr, sao=sao)
+    py_bytes = bw.get_bytes()[hl:]
+
+    c_bytes = native.encode_slice_data(
+        depth8, modes8, coef_y, coef_cb, coef_cr, W, H, cfg.qp, sao=sao)
+    assert c_bytes == py_bytes
+
+
+def test_native_p_slice_multiref_sao_matches_python():
+    """Native P-slice CABAC with 4 refs + SAO == Python byte-for-byte
+    (ref_idx coding, AMVP with POC scaling, mvp_l0_flag choice)."""
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+
+    rng = np.random.RandomState(11)
+    cfg = headers.EncoderConfig(width=192, height=128, qp=30, sao=True)
+    W, H = cfg.pad_width, cfg.pad_height
+    n_refs, poc = 4, 7
+
+    depth8 = np.zeros((H // 8, W // 8), np.int32)
+    mvq8 = np.zeros((H // 8, W // 8, 2), np.int32)
+    ref8 = np.zeros((H // 8, W // 8), np.int32)
+
+    def rand_tree(y, x, size, depth):
+        if depth < 3 and rng.rand() < 0.5:
+            h = size // 2
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                rand_tree(y + dy, x + dx, h, depth + 1)
+        else:
+            depth8[y // 8:(y + size) // 8, x // 8:(x + size) // 8] = depth
+            mvq8[y // 8:(y + size) // 8, x // 8:(x + size) // 8] = \
+                rng.randint(-24, 25, 2)
+            ref8[y // 8:(y + size) // 8, x // 8:(x + size) // 8] = \
+                rng.randint(0, n_refs)
+
+    for cy in range(H // 64):
+        for cx in range(W // 64):
+            rand_tree(cy * 64, cx * 64, 64, 0)
+
+    coef_y = (rng.randint(-4, 5, (H, W)) *
+              (rng.rand(H, W) < 0.1)).astype(np.int32)
+    coef_cb = (rng.randint(-3, 4, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.08)).astype(np.int32)
+    coef_cr = (rng.randint(-3, 4, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.05)).astype(np.int32)
+    sao = _rand_sao(rng, cfg.ctus_x * cfg.ctus_y)
+
+    bw = headers.start_p_slice(cfg, cfg.qp, poc)
+    hl = len(bw.get_bytes())
+    pse = PSliceEncoder(cfg, cfg.qp, n_refs=n_refs, poc=poc)
+    pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr, sao=sao,
+               ref8=ref8)
+    py_bytes = bw.get_bytes()[hl:]
+
+    c_bytes = native.encode_slice_data_p(
+        depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, cfg.qp,
+        ref8=ref8, n_refs=n_refs, poc=poc, sao=sao)
+    assert c_bytes == py_bytes
+
+
+def test_native_p_slice_intra_in_p_matches_python():
+    """Native P CABAC with intra-in-P CUs (+4 refs, SAO) == Python."""
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+
+    rng = np.random.RandomState(13)
+    cfg = headers.EncoderConfig(width=192, height=128, qp=32, sao=True)
+    W, H = cfg.pad_width, cfg.pad_height
+    n_refs, poc = 4, 5
+
+    depth8 = np.zeros((H // 8, W // 8), np.int32)
+    mvq8 = np.zeros((H // 8, W // 8, 2), np.int32)
+    ref8 = np.zeros((H // 8, W // 8), np.int32)
+    intra8 = np.zeros((H // 8, W // 8), bool)
+    imode8 = np.ones((H // 8, W // 8), np.int32)
+
+    def rand_tree(y, x, size, depth):
+        if depth < 3 and rng.rand() < 0.5:
+            h = size // 2
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                rand_tree(y + dy, x + dx, h, depth + 1)
+        else:
+            s8 = slice(y // 8, (y + size) // 8), slice(x // 8,
+                                                       (x + size) // 8)
+            depth8[s8] = depth
+            if rng.rand() < 0.3:      # ~30% of CUs intra
+                intra8[s8] = True
+                imode8[s8] = rng.randint(0, 35)
+            else:
+                mvq8[s8] = rng.randint(-24, 25, 2)
+                ref8[s8] = rng.randint(0, n_refs)
+
+    for cy in range(H // 64):
+        for cx in range(W // 64):
+            rand_tree(cy * 64, cx * 64, 64, 0)
+
+    coef_y = (rng.randint(-4, 5, (H, W)) *
+              (rng.rand(H, W) < 0.1)).astype(np.int32)
+    coef_cb = (rng.randint(-3, 4, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.08)).astype(np.int32)
+    coef_cr = (rng.randint(-3, 4, (H // 2, W // 2)) *
+               (rng.rand(H // 2, W // 2) < 0.05)).astype(np.int32)
+    sao = _rand_sao(rng, cfg.ctus_x * cfg.ctus_y)
+
+    bw = headers.start_p_slice(cfg, cfg.qp, poc)
+    hl = len(bw.get_bytes())
+    pse = PSliceEncoder(cfg, cfg.qp, n_refs=n_refs, poc=poc)
+    pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr, sao=sao,
+               ref8=ref8, intra8=intra8, imode8=imode8)
+    py_bytes = bw.get_bytes()[hl:]
+
+    c_bytes = native.encode_slice_data_p(
+        depth8, mvq8, coef_y, coef_cb, coef_cr, W, H, cfg.qp,
+        ref8=ref8, n_refs=n_refs, poc=poc, sao=sao,
+        intra8=intra8, imode8=imode8)
+    assert c_bytes == py_bytes
