@@ -153,12 +153,16 @@ def recon_inter_frame(dec: dict, refs, W: int, H: int,
     recon_cr = np.zeros((H // 2, W // 2), np.int32)
 
     cus = _collect_cus(depth8, W, H)
+    intra8 = dec.get("intra8")
+    if intra8 is not None and not intra8.any():
+        intra8 = None
     ref_y = jnp.asarray(np.stack([r.y.astype(np.int32) for r in refs]))
     ref_cb = jnp.asarray(np.stack([r.cb.astype(np.int32) for r in refs]))
     ref_cr = jnp.asarray(np.stack([r.cr.astype(np.int32) for r in refs]))
 
     for size in (8, 16, 32, 64):
-        group = [(x, y) for (x, y, s) in cus if s == size]
+        group = [(x, y) for (x, y, s) in cus if s == size
+                 and not (intra8 is not None and intra8[y >> 3, x >> 3])]
         if not group:
             continue
         org = np.array(group, np.int32)
@@ -194,6 +198,41 @@ def recon_inter_frame(dec: dict, refs, W: int, H: int,
                                   (y0 >> 1) + py, ctu_, cqp,
                                   pred_cr[i, py:py + ctu_, px:px + ctu_])
 
+    if intra8 is not None:
+        # intra-in-P CUs: sequential z-order patch from reconstructed
+        # neighbours (mirror of pipeline/intra_p.patch_intra_cus)
+        imodes4 = dec["imodes4"]
+        zmap = zorder.frame_zmap(W, H)
+
+        def tu_intra(recon, coef, x0, y0, n, mode, q, component, scale=1):
+            pw, ph = (W // scale, H // scale)
+            pred = _predict_tu(recon, zmap, x0, y0, n, mode,
+                               component=component, pad_w=pw, pad_h=ph,
+                               scale=scale)
+            _add_residual(recon, coef, x0, y0, n, q, pred)
+
+        for (x0, y0, size) in cus:
+            if not intra8[y0 >> 3, x0 >> 3]:
+                continue
+            mode = int(imodes4[y0 >> 2, x0 >> 2])
+            if size == 64:
+                for (dx, dy) in ((0, 0), (32, 0), (0, 32), (32, 32)):
+                    tu_intra(recon_y, coef_y, x0 + dx, y0 + dy, 32, mode,
+                             qp, "luma")
+                for (dx, dy) in ((0, 0), (16, 0), (0, 16), (16, 16)):
+                    cx, cy = (x0 >> 1) + dx, (y0 >> 1) + dy
+                    tu_intra(recon_cb, coef_cb, cx, cy, 16, mode, cqp,
+                             "chroma", scale=2)
+                    tu_intra(recon_cr, coef_cr, cx, cy, 16, mode, cqp,
+                             "chroma", scale=2)
+            else:
+                tu_intra(recon_y, coef_y, x0, y0, size, mode, qp, "luma")
+                half = size >> 1
+                tu_intra(recon_cb, coef_cb, x0 >> 1, y0 >> 1, half, mode,
+                         cqp, "chroma", scale=2)
+                tu_intra(recon_cr, coef_cr, x0 >> 1, y0 >> 1, half, mode,
+                         cqp, "chroma", scale=2)
+
     return Frame(recon_y.astype(np.uint8), recon_cb.astype(np.uint8),
                  recon_cr.astype(np.uint8))
 
@@ -206,9 +245,12 @@ def apply_loop_filters(rec: Frame, dec: dict, qp: int, *,
     if deblock_on:
         from ..ops import deblock as dbk
         if inter_pic:
+            intra8 = dec.get("intra8")
+            if intra8 is not None and not intra8.any():
+                intra8 = None
             y, cb, cr = dbk.deblock_frame_inter(
                 y, cb, cr, dec["depth8"], dec["mvq8"], dec["coef_y"], qp,
-                ref8=dec.get("ref8"))
+                ref8=dec.get("ref8"), intra8=intra8)
         else:
             y, cb, cr = dbk.deblock_frame(y, cb, cr, dec["depth8"], qp)
     if sao_on and dec.get("sao") is not None:

@@ -310,8 +310,13 @@ class PSliceDecoder:
         self.mvq8 = np.zeros((H >> 3, W >> 3, 2), np.int32)
         self.ref8 = np.zeros((H >> 3, W >> 3), np.int32)
         self.skip8 = np.zeros((H >> 3, W >> 3), np.uint8)
+        # intra-in-P state: inter8 is a live view the MotionField reads
+        # (6.4.1: intra neighbours are unavailable for merge/AMVP)
+        self.intra8 = np.zeros((H >> 3, W >> 3), bool)
+        self.inter8 = np.ones((H >> 3, W >> 3), bool)
+        self.imodes4 = np.ones((H >> 2, W >> 2), np.int32)  # DC default
         self.field = motion.MotionField(self.mvq8, self.ref8, W, H,
-                                        self.zmap)
+                                        self.zmap, inter8=self.inter8)
         self.coef_y = np.zeros((H, W), np.int32)
         self.coef_cb = np.zeros((H >> 1, W >> 1), np.int32)
         self.coef_cr = np.zeros((H >> 1, W >> 1), np.int32)
@@ -332,7 +337,8 @@ class PSliceDecoder:
                 f"end_of_slice at CTU {ci}"
         return dict(depth8=self.depth8, mvq8=self.mvq8, ref8=self.ref8,
                     coef_y=self.coef_y, coef_cb=self.coef_cb,
-                    coef_cr=self.coef_cr, sao=sao)
+                    coef_cr=self.coef_cr, sao=sao,
+                    intra8=self.intra8, imodes4=self.imodes4)
 
     def _coding_quadtree(self, x0, y0, size, depth):
         inside = (x0 + size <= self.W) and (y0 + size <= self.H)
@@ -413,7 +419,9 @@ class PSliceDecoder:
                        x0 >> 3:(x0 + size) >> 3] = 1
             return
         pred_mode = dec.decode_bin(ctx, ctx.idx("pred_mode"))
-        assert pred_mode == 0, "intra CUs in P slices not in toolset"
+        if pred_mode == 1:
+            self._intra_coding_unit(x0, y0, size)
+            return
         part = dec.decode_bin(ctx, ctx.idx("part_mode", 0))
         assert part == 1, "only 2Nx2N inter CUs in toolset"
         if dec.decode_bin(ctx, ctx.idx("merge_flag")):
@@ -447,6 +455,85 @@ class PSliceDecoder:
         root_cbf = dec.decode_bin(ctx, ctx.idx("qt_root_cbf"))
         if root_cbf:
             self._transform_tree(x0, y0, size)
+
+    # ---- intra-in-P CU (mirror of PSliceEncoder._intra_coding_unit) --
+    def _mpm_for4_p(self, x, y):
+        cand_a = DC if x == 0 else int(self.imodes4[y >> 2, (x - 1) >> 2])
+        cand_b = DC
+        if y > 0 and (y - 1) >> 6 == y >> 6:
+            cand_b = int(self.imodes4[(y - 1) >> 2, x >> 2])
+        return mpm_list(cand_a, cand_b)
+
+    def _intra_coding_unit(self, x0, y0, size):
+        dec, ctx = self.dec, self.ctx
+        if size == 8:
+            part = dec.decode_bin(ctx, ctx.idx("part_mode", 0))
+            assert part == 1, "intra NxN in P slices not in toolset"
+        in_mpm = dec.decode_bin(ctx, ctx.idx("prev_intra_luma_pred"))
+        mpm = self._mpm_for4_p(x0, y0)
+        if in_mpm:
+            idx = 0
+            if dec.decode_bypass():
+                idx = 1 + dec.decode_bypass()
+            mode = mpm[idx]
+        else:
+            rem = dec.decode_bypass_bins(5)
+            for m in sorted(mpm):
+                if rem >= m:
+                    rem += 1
+            mode = rem
+        dm = dec.decode_bin(ctx, ctx.idx("chroma_pred_mode"))
+        assert dm == 0, "non-DM chroma modes not in toolset"
+        s8 = slice(y0 >> 3, (y0 + size) >> 3), slice(x0 >> 3,
+                                                     (x0 + size) >> 3)
+        self.intra8[s8] = True
+        self.inter8[s8] = False
+        self.imodes4[y0 >> 2:(y0 + size) >> 2,
+                     x0 >> 2:(x0 + size) >> 2] = mode
+        self._intra_transform_tree(x0, y0, size, 0, mode)
+
+    def _intra_transform_tree(self, x0, y0, size, trafo_depth, mode):
+        dec, ctx = self.dec, self.ctx
+        split = size > 32
+        log2 = size.bit_length() - 1
+        cbf_cb = cbf_cr = 0
+        if log2 > 2:
+            cbf_cb = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                 trafo_depth))
+            cbf_cr = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                 trafo_depth))
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                ccb = (dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                   trafo_depth + 1))
+                       if cbf_cb else 0)
+                ccr = (dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                   trafo_depth + 1))
+                       if cbf_cr else 0)
+                cl = dec.decode_bin(ctx, ctx.idx("qt_cbf_luma", 0))
+                self._intra_transform_unit(x1, y1, h, cl, ccb, ccr, mode)
+            return
+        cl = dec.decode_bin(
+            ctx, ctx.idx("qt_cbf_luma", 1 if trafo_depth == 0 else 0))
+        self._intra_transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr, mode)
+
+    def _intra_transform_unit(self, x0, y0, size, cl, ccb, ccr, mode):
+        if cl:
+            st = scanlib.scan_type_for(mode, size, True)
+            blk = residual.decode_residual(self.dec, self.ctx, size,
+                                           is_luma=True, scan_type=st)
+            self.coef_y[y0:y0 + size, x0:x0 + size] = blk
+        half = size >> 1
+        for (cbf, plane) in ((ccb, self.coef_cb), (ccr, self.coef_cr)):
+            if cbf:
+                st = scanlib.scan_type_for(mode, half, False)
+                blk = residual.decode_residual(self.dec, self.ctx, half,
+                                               is_luma=False,
+                                               scan_type=st)
+                plane[y0 >> 1:(y0 >> 1) + half,
+                      x0 >> 1:(x0 >> 1) + half] = blk
 
     def _transform_tree(self, x0, y0, size):
         dec, ctx = self.dec, self.ctx

@@ -47,18 +47,31 @@ class PSliceEncoder:
                          else [poc - 1 - i for i in range(n_refs)])
 
     def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
-               sao=None, ref8=None):
+               sao=None, ref8=None, intra8=None, imode8=None):
+        """intra8/imode8: optional [H8, W8] intra-in-P decision maps
+        (TEncCu.cpp:1438 escape): intra8 marks intra-coded CUs, imode8
+        their luma mode. Intra CUs are excluded from the motion field
+        (6.4.1 inter availability)."""
         self.depth8 = np.asarray(depth8)
         self.mvq8 = np.asarray(mvq8)
         self.ref8 = None if ref8 is None else np.asarray(ref8)
+        self.intra8 = None if intra8 is None else np.asarray(intra8)
+        if imode8 is not None and self.intra8 is not None:
+            # 4x4-granularity mode map for MPM derivation: DC (mode 1)
+            # at non-intra positions (HM candIntraPredMode rule)
+            m = np.where(self.intra8, np.asarray(imode8), 1)
+            self.imodes4 = np.repeat(np.repeat(m, 2, 0), 2, 1)
+        else:
+            self.imodes4 = None
         self.coef_y = np.asarray(coef_y)
         self.coef_cb = np.asarray(coef_cb)
         self.coef_cr = np.asarray(coef_cr)
         self.W = self.cfg.pad_width
         self.H = self.cfg.pad_height
         self.zmap = zorder.frame_zmap(self.W, self.H)
+        inter8 = None if self.intra8 is None else ~self.intra8
         self.field = motion.MotionField(self.mvq8, self.ref8, self.W,
-                                        self.H, self.zmap)
+                                        self.H, self.zmap, inter8=inter8)
 
         ctx = ContextModels(init_type=2 if self.is_b else 1, qp=self.qp)
         enc = CabacEncoder(bw)
@@ -145,7 +158,94 @@ class PSliceEncoder:
             inc += int(self.skip8[(y0 - 1) >> 3, x0 >> 3])
         return inc
 
+    # ---- intra-in-P CU (pred_mode_flag = 1; 2Nx2N only) --------------
+    def _mpm_for4_p(self, x, y):
+        from .slice_enc import mpm_list
+        cand_a = 1 if x == 0 else int(self.imodes4[y >> 2, (x - 1) >> 2])
+        cand_b = 1
+        if y > 0 and (y - 1) >> 6 == y >> 6:
+            cand_b = int(self.imodes4[(y - 1) >> 2, x >> 2])
+        return mpm_list(cand_a, cand_b)
+
+    def _intra_coding_unit(self, x0, y0, size):
+        enc, ctx = self.enc, self.ctx
+        enc.encode_bin(ctx, ctx.idx("skip_flag",
+                                    self._skip_ctx_inc(x0, y0)), 0)
+        enc.encode_bin(ctx, ctx.idx("pred_mode"), 1)
+        if size == 8:
+            # part_mode coded at min CU size only (7.3.8.5); 2Nx2N
+            enc.encode_bin(ctx, ctx.idx("part_mode", 0), 1)
+        mode = int(self.imodes4[y0 >> 2, x0 >> 2])
+        mpm = self._mpm_for4_p(x0, y0)
+        if mode in mpm:
+            enc.encode_bin(ctx, ctx.idx("prev_intra_luma_pred"), 1)
+            idx = mpm.index(mode)
+            enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(ctx, ctx.idx("prev_intra_luma_pred"), 0)
+            rem = mode
+            for m in sorted(mpm, reverse=True):
+                if mode > m:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(ctx, ctx.idx("chroma_pred_mode"), 0)  # DM
+        self._intra_transform_tree(x0, y0, size, 0, mode)
+
+    def _intra_transform_tree(self, x0, y0, size, trafo_depth, mode):
+        enc, ctx = self.enc, self.ctx
+        split = size > 32
+        log2 = size.bit_length() - 1
+        cbf_cb = self._tu_cbf(1, x0, y0, size)
+        cbf_cr = self._tu_cbf(2, x0, y0, size)
+        if log2 > 2:
+            enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", trafo_depth),
+                           cbf_cb)
+            enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", trafo_depth),
+                           cbf_cr)
+        if split:
+            h = size >> 1
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                x1, y1 = x0 + dx, y0 + dy
+                ccb = self._tu_cbf(1, x1, y1, h) if cbf_cb else 0
+                ccr = self._tu_cbf(2, x1, y1, h) if cbf_cr else 0
+                if cbf_cb:
+                    enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                trafo_depth + 1), ccb)
+                if cbf_cr:
+                    enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma",
+                                                trafo_depth + 1), ccr)
+                cl = self._tu_cbf(0, x1, y1, h)
+                enc.encode_bin(ctx, ctx.idx("qt_cbf_luma", 0), cl)
+                self._intra_transform_unit(x1, y1, h, cl, ccb, ccr, mode)
+            return
+        cl = self._tu_cbf(0, x0, y0, size)
+        enc.encode_bin(ctx, ctx.idx("qt_cbf_luma",
+                                    1 if trafo_depth == 0 else 0), cl)
+        self._intra_transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr, mode)
+
+    def _intra_transform_unit(self, x0, y0, size, cl, ccb, ccr, mode):
+        if not (cl or ccb or ccr):
+            return
+        if cl:
+            blk = self.coef_y[y0:y0 + size, x0:x0 + size]
+            st = scanlib.scan_type_for(mode, size, True)
+            residual.code_residual(self.enc, self.ctx, blk, is_luma=True,
+                                   scan_type=st)
+        half = size >> 1
+        for (cbf, plane) in ((ccb, self.coef_cb), (ccr, self.coef_cr)):
+            if cbf:
+                blk = plane[y0 >> 1:(y0 >> 1) + half,
+                            x0 >> 1:(x0 >> 1) + half]
+                st = scanlib.scan_type_for(mode, half, False)
+                residual.code_residual(self.enc, self.ctx, blk,
+                                       is_luma=False, scan_type=st)
+
     def _coding_unit(self, x0, y0, size):
+        if self.intra8 is not None and self.intra8[y0 >> 3, x0 >> 3]:
+            self._intra_coding_unit(x0, y0, size)
+            return
         enc, ctx = self.enc, self.ctx
         mv = (int(self.mvq8[y0 >> 3, x0 >> 3, 0]),
               int(self.mvq8[y0 >> 3, x0 >> 3, 1]))

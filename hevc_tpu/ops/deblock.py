@@ -178,14 +178,15 @@ def _nz_tu8(coef_y, tu8):
     return jnp.where(tu8 == 8, nz8, jnp.where(tu8 == 16, nz16, nz32))
 
 
-def inter_bs_masks(depth8, mvq8, coef_y, ref8=None):
-    """Boundary strengths for a pure-inter (P) slice per 8x8 cell.
+def inter_bs_masks(depth8, mvq8, coef_y, ref8=None, intra8=None):
+    """Boundary strengths for a P slice per 8x8 cell.
 
-    H.265 8.7.2.4 under uni-prediction: bS = 1 on a PU/TU edge iff
-    either side's luma TB has nonzero coefficients, the two sides use
-    different reference pictures (ref8 = per-8x8 L0 refIdx; None = all
-    identical), or the MV difference reaches a full sample (|dx| >= 4 or
-    |dy| >= 4 quarter-pel units); intra (bS = 2) does not occur.
+    H.265 8.7.2.4 under uni-prediction: bS = 2 on an edge where either
+    side is intra-coded (intra8; None = all inter); otherwise bS = 1 on
+    a PU/TU edge iff either side's luma TB has nonzero coefficients, the
+    two sides use different reference pictures (ref8 = per-8x8 L0
+    refIdx; None = all identical), or the MV difference reaches a full
+    sample (|dx| >= 4 or |dy| >= 4 quarter-pel units).
     Returns (bs_vert, bs_horz) int32 [H8, W8] aligned with edge_masks.
     """
     depth8 = jnp.asarray(depth8)
@@ -204,6 +205,12 @@ def inter_bs_masks(depth8, mvq8, coef_y, ref8=None):
         mvd_h = mvd_h | (r != jnp.roll(r, 1, axis=0))
     bs_v = (vert & (mvd_v | nz_v)).astype(jnp.int32)
     bs_h = (horz & (mvd_h | nz_h)).astype(jnp.int32)
+    if intra8 is not None:
+        it = jnp.asarray(intra8, bool)
+        i_v = it | jnp.roll(it, 1, axis=1)
+        i_h = it | jnp.roll(it, 1, axis=0)
+        bs_v = jnp.where(vert & i_v, 2, bs_v)
+        bs_h = jnp.where(horz & i_h, 2, bs_h)
     return bs_v, bs_h
 
 
@@ -222,17 +229,23 @@ def _filter_chroma_windows(win, edge_on, tc):
     return out
 
 
-def _deblock_chroma_vertical(plane, edge16_mask, cqp):
+def _deblock_chroma_vertical(plane, edge16_mask, cqp, edge_fine=None):
     """Chroma vertical edges: every 8 chroma samples where the co-located
     luma 16-grid edge exists. plane: [Hc, Wc]; edge16_mask: [Hc//8, Wc//8]
-    (bool per 8-chroma cell == 16-luma cell)."""
+    (bool per 8-chroma cell == 16-luma cell). edge_fine: optional
+    [Hc//4, Wc//8] mask at 4-chroma-row (= one luma 8-cell row)
+    granularity — used by the P path where bS = 2 varies along the
+    edge; overrides edge16_mask."""
     H, W = plane.shape
     tc = int(TC_TABLE[min(max(cqp + 2, 0), 53)])
     rolled = jnp.roll(plane, 2, axis=1)
     win = rolled.reshape(H, W // 8, 8)[:, :, :4]  # p1 p0 q0 q1
     g = win.reshape(H // 4, 4, W // 8, 4).transpose(2, 0, 1, 3)
     g = g.reshape(-1, 4, 4)
-    vm = jnp.repeat(edge16_mask.transpose(1, 0), 2, axis=1)  # [W8c, H/4]
+    if edge_fine is not None:
+        vm = edge_fine.transpose(1, 0)                       # [W8c, H/4]
+    else:
+        vm = jnp.repeat(edge16_mask.transpose(1, 0), 2, axis=1)
     edge_on = vm.reshape(-1)
     tcs = jnp.full_like(edge_on, tc, jnp.int32)
     out4 = _filter_chroma_windows(g, edge_on, tcs)
@@ -271,11 +284,27 @@ def deblock_frame(recon_y, recon_cb, recon_cr, depth8, qp: int):
 
 
 def deblock_frame_inter(recon_y, recon_cb, recon_cr, depth8, mvq8, coef_y,
-                        qp: int, ref8=None):
-    """Deblock a pure-inter P picture: luma edges at bS = 1 where the
-    normative conditions hold; chroma is filtered only at bS = 2 (intra),
-    which cannot occur, so chroma passes through (8.7.2.5.5)."""
-    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y, ref8)
+                        qp: int, ref8=None, intra8=None):
+    """Deblock a P picture: luma edges at bS >= 1 where the normative
+    conditions hold; chroma is filtered only at bS = 2 edges, i.e. where
+    an intra-coded CU borders the edge (8.7.2.5.5) — with no intra CUs
+    chroma passes through."""
+    from . import quant as quant_lib
+    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y, ref8, intra8)
     y = deblock_luma(recon_y, depth8, qp, bs_v, bs_h)
-    return y, jnp.asarray(recon_cb, jnp.int32), \
-        jnp.asarray(recon_cr, jnp.int32)
+    cb = jnp.asarray(recon_cb, jnp.int32)
+    cr = jnp.asarray(recon_cr, jnp.int32)
+    if intra8 is not None:
+        cqp = quant_lib.chroma_qp(qp)
+        # chroma filters only 16-luma-grid edges, at segments where
+        # bS = 2; rows keep 8-luma (4-chroma-row) granularity
+        fine_v = (bs_v == 2)[:, ::2]       # [H8, W16]
+        fine_h = (bs_h == 2)[::2, :]       # [H16, W8]
+        z16 = jnp.zeros((fine_v.shape[0] // 2, fine_v.shape[1]), bool)
+        cb = _deblock_chroma_vertical(cb, z16, cqp, edge_fine=fine_v)
+        cb = _deblock_chroma_vertical(cb.T, z16.T, cqp,
+                                      edge_fine=fine_h.T).T
+        cr = _deblock_chroma_vertical(cr, z16, cqp, edge_fine=fine_v)
+        cr = _deblock_chroma_vertical(cr.T, z16.T, cqp,
+                                      edge_fine=fine_h.T).T
+    return y, cb, cr
