@@ -76,6 +76,9 @@ def hierarchical_loss(probs, depth_labels_soft):
         "acc_64": acc(y64, p64, jnp.ones_like(y64)),
         "acc_32": acc(y32, p32, v32),
         "acc_16": acc(y16, p16, v16),
+        "tend_64": tendency(jnp.round(y64), p64, jnp.ones_like(y64)),
+        "tend_32": tendency(jnp.round(y32), p32, jnp.round(v32)),
+        "tend_16": tendency(jnp.round(y16), p16, jnp.round(v16)),
     }
     return total, aux
 

@@ -41,6 +41,8 @@ class TrainConfig:
     log: bool = True
     ckpt_path: Optional[str] = None   # periodic full-state checkpoint
                                       # (resume via train(resume_from=...))
+    patience: int = 0                 # >0: early-stop after this many
+                                      # evals without a valid-loss best
 
 
 def make_train_step(tx):
@@ -106,6 +108,7 @@ def train(luma, qp, depth4, cfg: TrainConfig,
             resume_from, opt_state)
         key = jax.random.fold_in(key, start_iter)
     best = (np.inf, params)
+    since_best = 0
     t0 = time.time()
     gen = dataset.batches(luma, qp, depth4, cfg.batch_size, rng, cfg.iters)
     for it, (bl, bq, bd) in enumerate(gen):
@@ -127,13 +130,22 @@ def train(luma, qp, depth4, cfg: TrainConfig,
                                         np.float32)))
             rec = {"iter": it + 1, "train_loss": float(loss),
                    "valid_loss": float(vloss),
+                   "vloss_64": float(vaux["loss_64"]),
+                   "vloss_32": float(vaux["loss_32"]),
+                   "vloss_16": float(vaux["loss_16"]),
                    "acc_64": float(vaux["acc_64"]),
                    "acc_32": float(vaux["acc_32"]),
                    "acc_16": float(vaux["acc_16"]),
+                   "tend_64": float(vaux["tend_64"]),
+                   "tend_32": float(vaux["tend_32"]),
+                   "tend_16": float(vaux["tend_16"]),
                    "elapsed_s": time.time() - t0}
             history.append(rec)
             if np.isfinite(rec["valid_loss"]) and rec["valid_loss"] < best[0]:
                 best = (rec["valid_loss"], jax.tree.map(lambda a: a, params))
+                since_best = 0
+            else:
+                since_best += 1
             if cfg.ckpt_path:
                 save_train_state(cfg.ckpt_path, params, opt_state,
                                  it + 1, history)
@@ -141,9 +153,36 @@ def train(luma, qp, depth4, cfg: TrainConfig,
                 print(f"it {rec['iter']}: loss {rec['train_loss']:.4f} "
                       f"valid {rec['valid_loss']:.4f} acc "
                       f"{rec['acc_64']:.3f}/{rec['acc_32']:.3f}/"
-                      f"{rec['acc_16']:.3f}")
+                      f"{rec['acc_16']:.3f} tend "
+                      f"{rec['tend_64']:+.2f}/{rec['tend_32']:+.2f}/"
+                      f"{rec['tend_16']:+.2f}", flush=True)
+            if cfg.patience and since_best >= cfg.patience:
+                if cfg.log:
+                    print(f"early stop at iter {it + 1} "
+                          f"(no valid improvement in {cfg.patience} evals)")
+                break
     # return the best-by-validation params (guards against late spikes)
     return best[1], history
+
+
+def write_loss_accuracy_list(path, history):
+    """Reference-format metrics table (ETH-CNN_Training_AI/Models/
+    loss_accuracy_list_*.dat, column layout train_CNN_CTU64.py:392):
+    one row per eval with step, losses, per-level accuracy and tendency."""
+    with open(path, "w") as f:
+        f.write("# iter train_loss valid_loss vloss_64 vloss_32 vloss_16"
+                " acc_64 acc_32 acc_16 tend_64 tend_32 tend_16\n")
+        for r in history:
+            f.write(f"{r['iter']} {r['train_loss']:.6f}"
+                    f" {r['valid_loss']:.6f}"
+                    f" {r.get('vloss_64', 0.0):.6f}"
+                    f" {r.get('vloss_32', 0.0):.6f}"
+                    f" {r.get('vloss_16', 0.0):.6f}"
+                    f" {r['acc_64']:.6f} {r['acc_32']:.6f}"
+                    f" {r['acc_16']:.6f}"
+                    f" {r.get('tend_64', 0.0):+.6f}"
+                    f" {r.get('tend_32', 0.0):+.6f}"
+                    f" {r.get('tend_16', 0.0):+.6f}\n")
 
 
 def save_params(path, params):

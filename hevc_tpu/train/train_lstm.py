@@ -65,12 +65,33 @@ def make_train_step(tx, cfg: LSTMTrainConfig):
     return step
 
 
-def train(resi, qp, fig, depth4, cfg: LSTMTrainConfig, params=None):
+@jax.jit
+def eval_step(params, resi_seq, qp_seq, fig_seq, depth_seq):
+    probs = eth_lstm.apply_sequence(params, resi_seq, qp_seq, fig_seq)
+    T, B = probs.shape[:2]
+    return losses.hierarchical_loss(probs.reshape(T * B, 21),
+                                    depth_seq.reshape(T * B, 4, 4))
+
+
+def _chain_batch(resi, qp, fig, depth4, idx, bptt_len):
+    bs = jnp.asarray(resi[idx].transpose(1, 0, 2, 3))  # [T, B, 64, 64]
+    bq = jnp.asarray(np.broadcast_to(qp[idx][None],
+                                     (bptt_len, idx.shape[0]))
+                     .astype(np.float32))
+    bf = jnp.asarray(fig[idx].T.astype(np.int32))
+    bd = jnp.asarray(depth4[idx].transpose(1, 0, 2, 3).astype(np.float32))
+    return bs, bq, bf, bd
+
+
+def train(resi, qp, fig, depth4, cfg: LSTMTrainConfig, params=None,
+          valid=None):
     """Train on temporal sequences.
 
     resi:  [N, T, 64, 64] residue patch chains (u8-range, 128-centered)
     qp:    [N] per-chain QP; fig: [N, T] frame-in-GOP (POC % 4)
     depth4: [N, T, 4, 4] labels.
+    valid: optional held-out (resi, qp, fig, depth4) — evaluated at each
+      eval point; the returned params are the best-by-validation set.
     """
     rng = np.random.RandomState(cfg.seed)
     if params is None:
@@ -85,16 +106,12 @@ def train(resi, qp, fig, depth4, cfg: LSTMTrainConfig, params=None):
 
     n = resi.shape[0]
     history = []
+    best = (np.inf, params)
     t0 = time.time()
     for it in range(cfg.iters):
         idx = rng.randint(0, n, cfg.batch_size)
-        bs = jnp.asarray(resi[idx].transpose(1, 0, 2, 3))  # [T, B, 64, 64]
-        bq = jnp.asarray(np.broadcast_to(qp[idx][None],
-                                         (cfg.bptt_len, cfg.batch_size))
-                         .astype(np.float32))
-        bf = jnp.asarray(fig[idx].T.astype(np.int32))
-        bd = jnp.asarray(depth4[idx].transpose(1, 0, 2, 3)
-                         .astype(np.float32))
+        bs, bq, bf, bd = _chain_batch(resi, qp, fig, depth4, idx,
+                                      cfg.bptt_len)
         params, opt_state, loss, aux = step_fn(params, opt_state, bs, bq,
                                                bf, bd)
         if (it + 1) % cfg.eval_every == 0 or it == cfg.iters - 1:
@@ -103,9 +120,31 @@ def train(resi, qp, fig, depth4, cfg: LSTMTrainConfig, params=None):
                    "acc_32": float(aux["acc_32"]),
                    "acc_16": float(aux["acc_16"]),
                    "elapsed_s": time.time() - t0}
+            if valid is not None:
+                vr, vq, vf, vd = valid
+                vidx = rng.randint(0, vr.shape[0],
+                                   min(cfg.batch_size * 4, vr.shape[0]))
+                vloss, vaux = eval_step(
+                    params, *_chain_batch(vr, vq, vf, vd, vidx,
+                                          cfg.bptt_len))
+                rec.update(valid_loss=float(vloss),
+                           acc_64=float(vaux["acc_64"]),
+                           acc_32=float(vaux["acc_32"]),
+                           acc_16=float(vaux["acc_16"]),
+                           tend_64=float(vaux["tend_64"]),
+                           tend_32=float(vaux["tend_32"]),
+                           tend_16=float(vaux["tend_16"]))
+                if (np.isfinite(rec["valid_loss"])
+                        and rec["valid_loss"] < best[0]):
+                    best = (rec["valid_loss"],
+                            jax.tree.map(lambda a: a, params))
             history.append(rec)
             if cfg.log:
-                print(f"it {rec['iter']}: loss {rec['train_loss']:.4f} acc "
-                      f"{rec['acc_64']:.3f}/{rec['acc_32']:.3f}/"
-                      f"{rec['acc_16']:.3f}")
+                v = (f" valid {rec['valid_loss']:.4f}"
+                     if "valid_loss" in rec else "")
+                print(f"it {rec['iter']}: loss {rec['train_loss']:.4f}{v}"
+                      f" acc {rec['acc_64']:.3f}/{rec['acc_32']:.3f}/"
+                      f"{rec['acc_16']:.3f}", flush=True)
+    if valid is not None and np.isfinite(best[0]):
+        return best[1], history
     return params, history

@@ -53,10 +53,14 @@ def synth_content_frame(rng, width, height):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--frames", type=int, default=1200)
+    ap.add_argument("--valid-frames", type=int, default=120,
+                    help="disjoint frames for the validation split")
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=192)
-    ap.add_argument("--iters", type=int, default=4000)
+    ap.add_argument("--iters", type=int, default=30000)
+    ap.add_argument("--patience", type=int, default=10,
+                    help="early-stop evals without valid improvement")
     ap.add_argument("--hm", action="store_true",
                     help="use HM Extract_Data for labels")
     ap.add_argument("--qps", type=int, nargs="+",
@@ -68,9 +72,15 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.RandomState(0)
+    # validation frames are DISJOINT content (own RNG stream), so the
+    # valid loss measures generalization, not memorization
     frames = [synth_content_frame(rng, args.width, args.height)
               for _ in range(args.frames)]
+    vrng = np.random.RandomState(777)
+    vframes = [synth_content_frame(vrng, args.width, args.height)
+               for _ in range(args.valid_frames)]
     frames_y = np.stack([f.y for f in frames])
+    vframes_y = np.stack([f.y for f in vframes])
 
     all_parts = {}
     for qp in args.qps:
@@ -78,39 +88,51 @@ def main():
         if args.hm:
             lab = labels.extract_labels_hm(frames, qp, args.width,
                                            args.height)
+            vlab = labels.extract_labels_hm(vframes, qp, args.width,
+                                            args.height)
         else:
             lab = labels.extract_labels_own(frames, qp, args.width,
                                             args.height)
+            vlab = labels.extract_labels_own(vframes, qp, args.width,
+                                             args.height)
         luma, depth4 = dataset.build_samples(frames_y, lab, qp)
-        all_parts[qp] = (luma, depth4)
+        vluma, vdepth4 = dataset.build_samples(vframes_y, vlab, qp)
+        all_parts[qp] = (luma, depth4, vluma, vdepth4)
         frac = [float((depth4 == d).mean()) for d in range(4)]
-        print(f"qp {qp}: {luma.shape[0]} samples in {time.time()-t0:.1f}s; "
-              f"depth dist {[round(f, 2) for f in frac]}")
+        print(f"qp {qp}: {luma.shape[0]} train / {vluma.shape[0]} valid "
+              f"samples in {time.time()-t0:.1f}s; "
+              f"depth dist {[round(f, 2) for f in frac]}", flush=True)
 
-    # split train/valid per QP, train one model per band (each band here
-    # maps to one QP of the sweep; reference uses one model per band)
+    # train one model per band (each band here maps to one QP of the
+    # sweep; reference uses one model per band)
     for qp in args.qps:
-        luma, depth4 = all_parts[qp]
+        luma, depth4, vluma, vdepth4 = all_parts[qp]
         n = luma.shape[0]
-        n_valid = max(64, n // 10)
-        valid = (luma[:n_valid], np.full((n_valid,), qp, np.uint8),
-                 depth4[:n_valid])
+        valid = (vluma, np.full((vluma.shape[0],), qp, np.uint8), vdepth4)
+        band = train_cnn.band_for_qp(qp)
         cfg = train_cnn.TrainConfig(iters=args.iters,
-                                    eval_every=max(200, args.iters // 10),
+                                    eval_every=max(200, args.iters // 60),
+                                    patience=args.patience,
+                                    ckpt_path=os.path.join(
+                                        args.out, f"ckpt_{band}.npz"),
                                     log=True)
-        print(f"=== training band {train_cnn.band_for_qp(qp)} (qp {qp}) ===")
+        print(f"=== training band {band} (qp {qp}) ===", flush=True)
         params, history = train_cnn.train(
-            luma[n_valid:], np.full((n - n_valid,), qp, np.uint8),
-            depth4[n_valid:], cfg, valid=valid)
-        out_path = os.path.join(args.out,
-                                f"eth_cnn_{train_cnn.band_for_qp(qp)}.npz")
+            luma, np.full((n,), qp, np.uint8), depth4, cfg, valid=valid)
+        out_path = os.path.join(args.out, f"eth_cnn_{band}.npz")
         train_cnn.save_params(out_path, params)
         with open(os.path.join(args.out, "training_log.txt"), "a") as f:
             for rec in history:
-                f.write(f"{train_cnn.band_for_qp(qp)} {rec}\n")
-        print(f"saved {out_path}; final acc "
-              f"{history[-1]['acc_64']:.3f}/{history[-1]['acc_32']:.3f}/"
-              f"{history[-1]['acc_16']:.3f}")
+                f.write(f"{band} {rec}\n")
+        train_cnn.write_loss_accuracy_list(
+            os.path.join(args.out, f"loss_accuracy_list_{band}.dat"),
+            history)
+        bi = int(np.argmin([r.get("valid_loss", np.inf)
+                            for r in history]))
+        print(f"saved {out_path}; best valid acc "
+              f"{history[bi]['acc_64']:.3f}/{history[bi]['acc_32']:.3f}/"
+              f"{history[bi]['acc_16']:.3f} at iter "
+              f"{history[bi]['iter']}", flush=True)
 
 
 if __name__ == "__main__":
