@@ -40,7 +40,15 @@ C1FLAG_NUMBER = res_lib.C1FLAG_NUMBER
 @functools.lru_cache(maxsize=None)
 def _tables(n: int, scan_type: int, is_luma: bool, qp: int,
             init_type: int):
+    import os
     ctx = ContextModels(init_type, qp)
+    if os.environ.get("HEVC_TPU_BITS_STATES", "adapted") == "adapted":
+        # mid-slice adapted states (HM estBitsSbac reads the live
+        # adapted contexts; init states overprice bins -> over-zeroing)
+        from . import adapted_states as ast
+        state, mps = ast.adapted_states(int(qp), int(init_type))
+        ctx.state[:] = state
+        ctx.mps[:] = mps
     eb = ENTROPY_BITS.astype(np.float64) / 32768.0
 
     def bin_cost(idx: int, v: int) -> float:

@@ -294,7 +294,7 @@ def _satd_all_modes_pallas(r_u, r_f, orig, n, *, component, bit_depth,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
         s = jnp.floor((s + round_add) * round_mul)
-        out_ref[0, 0] = jnp.sum(s, axis=-1, keepdims=True)
+        out_ref[0, 0, 0] = jnp.sum(s, axis=-1)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -310,8 +310,13 @@ def _satd_all_modes_pallas(r_u, r_f, orig, n, *, component, bit_depth,
             pl.BlockSpec((n2, n2), lambda i, j: (0, 0)),
             pl.BlockSpec((n2, G.shape[1]), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, T, 1), lambda i, j: (j, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((35, Bp // T, T, 1), jnp.float32),
+        # output (35, tiles, 1, T): the singleton sits on the SUBLANE
+        # axis (padded 1 -> 8), keeping the per-instance store static —
+        # the previous (..., T, 1) layout put it on the LANE axis
+        # (padded 1 -> 128), ballooning the NxN depth-4 buffer to
+        # 18.7 GB and OOMing 8-frame batches.
+        out_specs=pl.BlockSpec((1, 1, 1, T), lambda i, j: (j, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((35, Bp // T, 1, T), jnp.float32),
         interpret=interpret,
     )(refs, orig_f, W3, inv3, clip3, jnp.asarray(M), jnp.asarray(G))
     satd = out.reshape(35, Bp)[:, :B].T.astype(jnp.int32)

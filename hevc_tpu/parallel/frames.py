@@ -44,53 +44,22 @@ class FrameParallelAI:
         self._sharding = NamedSharding(mesh, P("data"))
         self._replicated = NamedSharding(mesh, P())
 
-        # The search's all-modes buffers scale with the CTU count
-        # ([B*nodes, 35, n, n]); chunking the CTU axis with lax.map keeps
-        # peak memory ~CHUNK/B of the full frame so large *frame* batches
-        # can amortize the recon wavefront (vmapping whole-frame decides
-        # OOMs 16 GB HBM at 16x1080p). The map body stays vmap-friendly,
-        # so the frame axis still shards cleanly over the mesh.
-        CHUNK = 64
-        n_org = self._origins.shape[0]
-        n_chunks = -(-n_org // CHUNK)
-        pad_n = n_chunks * CHUNK - n_org
-        origins_p = jnp.concatenate(
-            [self._origins,
-             jnp.broadcast_to(self._origins[:1], (pad_n, 2))]) \
-            if pad_n else self._origins
-        origins_c = origins_p.reshape(n_chunks, CHUNK, 2)
-
+        # NOTE: the CTU origins must stay a CONSTANT in the jaxpr
+        # (closure capture): routing them through lax.map/scan makes
+        # every reference-sample gather a traced-index gather, which
+        # lowers catastrophically on TPU (measured 10.5 s for an
+        # 8-frame decide vs ~2 ms with constant origins). Peak memory
+        # is bounded instead by mode-grouping inside the search
+        # (search._best_mode_per_node), so whole-frame vmapped decides
+        # fit HBM at large frame batches.
         def decide_one(y, cb, cr, probs):
-            def one_chunk(args):
-                orgs, pr = args
-                res = search.search_frame(
-                    y, orgs, pad_w=cfg.pad_width, pad_h=cfg.pad_height,
-                    n_ctu_x=cfg.ctus_x, qp=cfg.qp, hcpm_probs=pr,
-                    thr_up=self.thr.up, thr_down=self.thr.down,
-                    cb_plane=cb, cr_plane=cr, nxn=cfg.nxn)
-                return res.depth8, res.modes8, res.modes4, res.nxn8
-
-            if probs is not None:
-                probs_p = jnp.concatenate(
-                    [probs, jnp.zeros((pad_n, 21), probs.dtype)]) \
-                    if pad_n else probs
-                probs_c = probs_p.reshape(n_chunks, CHUNK, 21)
-            else:
-                # a zero-prob map with always-check thresholds == no
-                # gating, keeping one lax.map body signature
-                probs_c = None
-            if probs_c is None:
-                d, m, m4, nx = jax.lax.map(
-                    lambda o: one_chunk((o, None)), origins_c)
-            else:
-                d, m, m4, nx = jax.lax.map(one_chunk,
-                                           (origins_c, probs_c))
-
-            def unchunk(a):
-                a = a.reshape((n_chunks * CHUNK,) + a.shape[2:])
-                return a[:n_org]
-
-            return unchunk(d), unchunk(m), unchunk(m4), unchunk(nx)
+            res = search.search_frame(
+                y, self._origins, pad_w=cfg.pad_width,
+                pad_h=cfg.pad_height, n_ctu_x=cfg.ctus_x, qp=cfg.qp,
+                hcpm_probs=probs, thr_up=self.thr.up,
+                thr_down=self.thr.down, cb_plane=cb, cr_plane=cr,
+                nxn=cfg.nxn)
+            return res.depth8, res.modes8, res.modes4, res.nxn8
 
         def recon_one(y, cb, cr, d8, m4, nxn):
             return recon.encode_frame_planes(

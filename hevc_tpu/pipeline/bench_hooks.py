@@ -35,6 +35,42 @@ def synth_1080p(n_frames=2, seed=0):
     return frames
 
 
+def synth_1080p_structured(n_frames=2, seed=7):
+    """Natural-ish 1080p: smooth gradients + textured regions + moving
+    high-contrast blocks (the eval_gated.synth_clip recipe) — the
+    honest bench content: the CU tree is non-trivial and compressible,
+    unlike uniform noise."""
+    from ..core.yuv import Frame
+    rng = np.random.RandomState(seed)
+    h, w = 1080, 1920
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    tex = rng.randint(-24, 25, (h, w)).astype(np.float32)
+    tex_mask = ((xx // 64 + yy // 64) % 2).astype(np.float32)
+    frames = []
+    for t in range(n_frames):
+        y = (90 + 60 * np.sin((xx - 2 * t) / 53.0) * np.cos(yy / 37.0)
+             + tex * tex_mask)
+        x0 = (30 + 3 * t) % (w - 40)
+        y = y.copy()
+        y[40:72, x0:x0 + 32] = 210
+        y = np.clip(y, 0, 255).astype(np.uint8)
+        cb = np.full((h // 2, w // 2), 118, np.uint8)
+        cr = np.clip(128 + tex[::2, ::2] / 4, 0, 255).astype(np.uint8)
+        frames.append(Frame(y, cb, cr))
+    return frames
+
+
+def load_trained_cnn(qp=32):
+    """Shipped ETH-CNN checkpoint for the bench QP band (None if the
+    models/ directory is absent)."""
+    from ..train.train_cnn import band_for_qp, load_params
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "models",
+                        f"eth_cnn_{band_for_qp(qp)}.npz")
+    if not os.path.exists(path):
+        return None
+    return load_params(path)
+
+
 def read_hm_baseline():
     """Read the committed HM baseline cache. Never encodes — the bench
     path must not spend its budget on an HM run (round-1 rc=124 lesson);
@@ -55,7 +91,7 @@ def measure_hm_baseline(n_frames=2, force=False, timeout=3600):
     from ..core.yuv import write_yuv420
     from ..train.labels import hm_intra_cfg
     import tempfile
-    frames = synth_1080p(n_frames)
+    frames = synth_1080p_structured(n_frames)
     with tempfile.TemporaryDirectory() as td:
         write_yuv420(os.path.join(td, "in.yuv"), frames)
         with open(os.path.join(td, "enc.cfg"), "w") as f:
@@ -89,12 +125,18 @@ def bench_encode_1080p(n_frames=8):
     from ..parallel.mesh import make_mesh
 
     cfg = headers.EncoderConfig(width=1920, height=1080, qp=32)
-    params = eth_cnn.init_params(jax.random.PRNGKey(0))
+    # the SHIPPED predictor at its operating point (falls back to random
+    # init only when models/ is missing), on structured content — the
+    # bench measures the real gated encoder, not worst-case noise
+    params = load_trained_cnn(cfg.qp)
+    trained = params is not None
+    if params is None:
+        params = eth_cnn.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(1, model_axis=1)
     enc = pframes.FrameParallelAI(cfg, mesh, cnn_params=params)
 
     chunk = max(1, n_frames // 2)  # overlap device compute w/ host CABAC
-    frames = synth_1080p(n_frames)
+    frames = synth_1080p_structured(n_frames)
     enc.encode(frames[:chunk], with_hash_sei=False)  # compile (1 chunk)
 
     t0 = time.perf_counter()
@@ -116,6 +158,8 @@ def bench_encode_1080p(n_frames=8):
         "unit": "frames/s/chip",
         "vs_baseline": round(vs, 2),
         "detail": {**{k: round(v, 3) for k, v in stats.items()},
-                   "satd_kernel": intra_mm.LAST_SATD_PATH},
+                   "satd_kernel": intra_mm.LAST_SATD_PATH,
+                   "weights": "trained" if trained else "random-init",
+                   "content": "structured"},
         "stream_bytes": len(stream),
     }

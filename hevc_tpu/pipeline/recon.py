@@ -52,14 +52,19 @@ def node_table():
     return np.array(nodes, np.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _tu_core(r, avail, orig, mode, n, component, qp, rdoq, use_dst):
-    """Predict -> transform -> quantize -> reconstruct one TB.
+import os as _os
 
-    Inner-jitted on purpose: the unrolled 85-node CTU DFS makes ~520
-    per-TU calls per CTU trace (NxN adds 4 per depth-3 CU); sharing one
-    compiled body per (n, component, qp) instead of inlining each copy
-    cuts XLA/LLVM compile time and memory roughly in half."""
+#: "1" (default): share one compiled body per TB class via inner jit —
+#: much cheaper to compile, but each call is an XLA call site whose
+#: invocation overhead (~0.3 ms) SERIALIZES along the CTU's 520-call
+#: dependency chain inside the wavefront scan (measured: the whole scan
+#: drops from ~7 s to sub-ms when the chain is broken). "0" inlines
+#: every TB chain so XLA fuses across them — slower compile, fast run.
+_INNER_JIT = _os.environ.get("HEVC_TPU_INNER_JIT", "1") == "1"
+
+
+def _tu_core_impl(r, avail, orig, mode, n, component, qp, rdoq, use_dst):
+    """Predict -> transform -> quantize -> reconstruct one TB."""
     r = intra.substitute_refs(r[None], avail[None])[0]
     if component == "luma":
         r_use = intra.select_filtered(r, intra.filter_refs(r), mode, n)
@@ -81,9 +86,16 @@ def _tu_core(r, avail, orig, mode, n, component, qp, rdoq, use_dst):
     return lvl, rec
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
-def _tu_window_core(win, cwin, orig, mode, leaf, origin,
-                    n, component, qp, rdoq, use_dst, grid):
+_tu_core_jit = functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))(
+    _tu_core_impl)
+
+
+def _tu_core(*args):
+    return (_tu_core_jit if _INNER_JIT else _tu_core_impl)(*args)
+
+
+def _tu_window_core_impl(win, cwin, orig, mode, leaf, origin,
+                         n, component, qp, rdoq, use_dst, grid):
     """Code one TB on its local [2n+1, 2n+1] context window (interior at
     [1:n+1, 1:n+1]); cwin = its [n, n] coefficient window. origin =
     traced [2] global sample coords; grid = (pad_w, pad_h, n_ctu_x,
@@ -105,6 +117,15 @@ def _tu_window_core(win, cwin, orig, mode, leaf, origin,
     win = win.at[1:1 + n, 1:1 + n].set(
         jnp.where(leaf, rec, win[1:1 + n, 1:1 + n]))
     return win, cwin
+
+
+_tu_window_core_jit = functools.partial(
+    jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))(_tu_window_core_impl)
+
+
+def _tu_window_core(*args):
+    return (_tu_window_core_jit if _INNER_JIT
+            else _tu_window_core_impl)(*args)
 
 
 def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
@@ -260,28 +281,38 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes4, nxn8, *,
     modes4 = pad_to(modes4, H64 // 4, W64 // 4)
     nxn8 = pad_to(nxn8, H64 // 8, W64 // 8).astype(bool)
 
+    # Recon planes live PRE-PADDED in the scan carry (1-sample top/left
+    # border + tile bottom/right slack) so every context read and tile
+    # write is an exact dynamic slice / dynamic_update_slice. The
+    # previous formulation re-padded the whole planes and index-vector
+    # scattered every diagonal step — at 1080p the scatters alone made
+    # the scan ~70x slower than the CTU compute (measured: 520-TU
+    # code_ctu = 0.1 ms vs ~115 ms/step all-in).
     planes = FramePlanes(
-        recon_y=jnp.zeros((H64, W64), jnp.int32),
-        recon_cb=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
-        recon_cr=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
+        recon_y=jnp.zeros((H64 + 65, W64 + 65), jnp.int32),
+        recon_cb=jnp.zeros((H64 // 2 + 33, W64 // 2 + 33), jnp.int32),
+        recon_cr=jnp.zeros((H64 // 2 + 33, W64 // 2 + 33), jnp.int32),
         coef_y=jnp.zeros((H64, W64), jnp.int32),
         coef_cb=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
         coef_cr=jnp.zeros((H64 // 2, W64 // 2), jnp.int32),
     )
+    wmax = cxs.shape[1]
 
     def diag_step(planes, diag):
         cx_l, cy_l, act_l = diag
-        # 1-sample top/left border (+ tile-size bottom/right slack) so all
-        # context reads are exact dynamic slices.
-        pry = jnp.pad(planes.recon_y, ((1, 64), (1, 64)))
-        prcb = jnp.pad(planes.recon_cb, ((1, 32), (1, 32)))
-        prcr = jnp.pad(planes.recon_cr, ((1, 32), (1, 32)))
+        pry, prcb, prcr = planes.recon_y, planes.recon_cb, planes.recon_cr
 
         def lane(cx, cy):
             ox, oy = cx * 64, cy * 64
             oxc, oyc = ox // 2, oy // 2
 
             def ctx(pp, o_y, o_x, S):
+                import os
+                if os.environ.get("HEVC_TPU_DEBUG_ZERO_CTX") == "1":
+                    # perf-bisection aid: breaks the carry-read
+                    # dependency (output is WRONG; never ship)
+                    return (jnp.zeros((2 * S,), jnp.int32),
+                            jnp.zeros((S,), jnp.int32), jnp.int32(0))
                 top = jax.lax.dynamic_slice(pp, (o_y, o_x + 1),
                                             (1, 2 * S))[0]
                 left = jax.lax.dynamic_slice(pp, (o_y + 1, o_x),
@@ -306,24 +337,24 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes4, nxn8, *,
         outs = jax.vmap(lane)(cx_l, cy_l)
         rec_y_t, rec_cb_t, rec_cr_t, cf_y_t, cf_cb_t, cf_cr_t = outs
 
-        def scatter(plane, tiles, s):
-            W = plane.shape[1]
-            ys = (cy_l * s)[:, None, None] + jnp.arange(s)[None, :, None]
-            xs = (cx_l * s)[:, None, None] + jnp.arange(s)[None, None, :]
-            flat_idx = (ys * W + xs).reshape(-1)
-            keep = jnp.repeat(act_l, s * s)
-            # inactive lanes: out-of-bounds index -> dropped by scatter
-            flat_idx = jnp.where(keep, flat_idx, plane.size)
-            return plane.reshape(-1).at[flat_idx].set(
-                tiles.reshape(-1), mode="drop").reshape(plane.shape)
+        def put(plane, tiles, s, border):
+            # per-lane conditional dynamic updates: in-place on the
+            # carry, no gather/scatter lowering
+            for i in range(wmax):
+                py = cy_l[i] * s + border
+                px = cx_l[i] * s + border
+                cur = jax.lax.dynamic_slice(plane, (py, px), (s, s))
+                new = jnp.where(act_l[i], tiles[i], cur)
+                plane = jax.lax.dynamic_update_slice(plane, new, (py, px))
+            return plane
 
         planes = FramePlanes(
-            recon_y=scatter(planes.recon_y, rec_y_t, 64),
-            recon_cb=scatter(planes.recon_cb, rec_cb_t, 32),
-            recon_cr=scatter(planes.recon_cr, rec_cr_t, 32),
-            coef_y=scatter(planes.coef_y, cf_y_t, 64),
-            coef_cb=scatter(planes.coef_cb, cf_cb_t, 32),
-            coef_cr=scatter(planes.coef_cr, cf_cr_t, 32),
+            recon_y=put(planes.recon_y, rec_y_t, 64, 1),
+            recon_cb=put(planes.recon_cb, rec_cb_t, 32, 1),
+            recon_cr=put(planes.recon_cr, rec_cr_t, 32, 1),
+            coef_y=put(planes.coef_y, cf_y_t, 64, 0),
+            coef_cb=put(planes.coef_cb, cf_cb_t, 32, 0),
+            coef_cr=put(planes.coef_cr, cf_cr_t, 32, 0),
         )
         return planes, None
 
@@ -333,9 +364,12 @@ def encode_frame_planes(orig_y, orig_cb, orig_cr, depth8, modes4, nxn8, *,
     # narrow dtypes: recon fits u8, levels fit i16 — halves/quarters the
     # device->host transfer that feeds the host CABAC stage.
     return FramePlanes(
-        recon_y=planes.recon_y[:pad_h, :pad_w].astype(jnp.uint8),
-        recon_cb=planes.recon_cb[:pad_h // 2, :pad_w // 2].astype(jnp.uint8),
-        recon_cr=planes.recon_cr[:pad_h // 2, :pad_w // 2].astype(jnp.uint8),
+        recon_y=planes.recon_y[1:1 + pad_h,
+                               1:1 + pad_w].astype(jnp.uint8),
+        recon_cb=planes.recon_cb[1:1 + pad_h // 2,
+                                 1:1 + pad_w // 2].astype(jnp.uint8),
+        recon_cr=planes.recon_cr[1:1 + pad_h // 2,
+                                 1:1 + pad_w // 2].astype(jnp.uint8),
         coef_y=planes.coef_y[:pad_h, :pad_w].astype(jnp.int16),
         coef_cb=planes.coef_cb[:pad_h // 2, :pad_w // 2].astype(jnp.int16),
         coef_cr=planes.coef_cr[:pad_h // 2, :pad_w // 2].astype(jnp.int16),

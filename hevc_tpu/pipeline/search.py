@@ -81,6 +81,27 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
         # MXU weight-matrix formulation (+ Pallas fusion on TPU),
         # bit-exact vs the gather path: tests/test_intra_mm.py
         satds = intra_mm.satd_all_modes(r, rf, orig, size)
+    elif size >= 32:
+        # mode-grouped evaluation: materializing all 35 predictions at
+        # 32/64 costs [B*nd, 35, n, n] (several GB per frame at 1080p,
+        # OOMs large frame batches); groups of 7 bound the peak at 1/5
+        # with identical results (constant mode ids per group)
+        block = 8
+        parts = []
+        for g0 in range(0, 35, 7):
+            gm = list(range(g0, min(g0 + 7, 35)))
+            k = len(gm)
+            m_ids = jnp.broadcast_to(
+                jnp.asarray(gm, jnp.int32)[None],
+                (r.shape[0], k)).reshape(-1)
+            r_rep = jnp.repeat(r, k, axis=0)
+            rf_rep = jnp.repeat(rf, k, axis=0)
+            r_use = intra.select_filtered_batch(r_rep, rf_rep, m_ids,
+                                                size)
+            preds = intra.predict_selected_modes(r_use, m_ids, size)
+            preds = preds.reshape(r.shape[0], k, size, size)
+            parts.append(cost.satd(orig[:, None], preds, block=block))
+        satds = jnp.concatenate(parts, axis=1)            # [B*nd, 35]
     else:
         preds_u = intra.predict_all_modes(r, size, component="luma")
         preds_f = intra.predict_all_modes(rf, size, component="luma")

@@ -37,7 +37,14 @@ class FrozenCounter:
 def oracle_bits(levels, qp, is_luma, scan_type, init_type=0):
     if not np.any(levels):
         return 0.0
+    import os
     ctx = ContextModels(init_type, qp)
+    if os.environ.get("HEVC_TPU_BITS_STATES", "adapted") == "adapted":
+        # mirror ops/bits_exact._tables: frozen *adapted* states
+        from hevc_tpu.ops import adapted_states as ast
+        state, mps = ast.adapted_states(int(qp), int(init_type))
+        ctx.state[:] = state
+        ctx.mps[:] = mps
     cnt = FrozenCounter(ctx)
     residual.code_residual(cnt, ctx, levels, is_luma=is_luma,
                            scan_type=scan_type)
