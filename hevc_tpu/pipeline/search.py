@@ -81,11 +81,14 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
         # MXU weight-matrix formulation (+ Pallas fusion on TPU),
         # bit-exact vs the gather path: tests/test_intra_mm.py
         satds = intra_mm.satd_all_modes(r, rf, orig, size)
-    elif size >= 32:
+    elif size >= 32 and os.environ.get("HEVC_TPU_MODE_GROUP", "0") == "1":
         # mode-grouped evaluation: materializing all 35 predictions at
-        # 32/64 costs [B*nd, 35, n, n] (several GB per frame at 1080p,
-        # OOMs large frame batches); groups of 7 bound the peak at 1/5
-        # with identical results (constant mode ids per group)
+        # 32/64 costs [B*nd, 35, n, n] (several GB per frame at 1080p);
+        # groups of 7 bound the peak at 1/5 with identical results
+        # (verified) — but OFF by default: combined with the chroma+NxN
+        # search in one program it triggers a reproducible TPU runtime
+        # fault (XLA miscompile; each half works alone). Opt in with
+        # HEVC_TPU_MODE_GROUP=1 for memory-bound large frame batches.
         block = 8
         parts = []
         for g0 in range(0, 35, 7):
