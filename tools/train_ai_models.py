@@ -66,19 +66,52 @@ def main():
     ap.add_argument("--qps", type=int, nargs="+",
                     default=[22, 27, 32, 37])
     ap.add_argument("--out", default="models")
+    ap.add_argument("--yuv-dir", default=os.environ.get("HEVC_TPU_YUV_DIR"),
+                    help="natural-content corpus directory: catalog "
+                    "sequences (train/data_info.py) found here replace "
+                    "the synthetic generator (AI train/valid splits)")
     args = ap.parse_args()
 
     from hevc_tpu.train import dataset, labels, train_cnn
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.RandomState(0)
-    # validation frames are DISJOINT content (own RNG stream), so the
-    # valid loss measures generalization, not memorization
-    frames = [synth_content_frame(rng, args.width, args.height)
-              for _ in range(args.frames)]
-    vrng = np.random.RandomState(777)
-    vframes = [synth_content_frame(vrng, args.width, args.height)
-               for _ in range(args.valid_frames)]
+    frames = vframes = None
+    if args.yuv_dir:
+        from hevc_tpu.core.yuv import read_yuv420
+        from hevc_tpu.train import data_info
+
+        def load_split(indices, budget):
+            seqs = data_info.available(args.yuv_dir, indices)
+            out = []
+            for s in seqs:
+                fr = read_yuv420(s.path, s.width, s.height)
+                out.extend(fr[:max(1, budget // max(1, len(seqs)))])
+            return out
+
+        frames = load_split(data_info.AI_TRAIN, args.frames) or None
+        vframes = load_split(data_info.AI_VALID, args.valid_frames) or None
+        if frames:
+            args.width = args.height = None  # per-frame sizes below
+            print(f"natural corpus: {len(frames)} train / "
+                  f"{len(vframes or [])} valid frames from {args.yuv_dir}",
+                  flush=True)
+    if frames is None:
+        # validation frames are DISJOINT content (own RNG stream), so the
+        # valid loss measures generalization, not memorization
+        frames = [synth_content_frame(rng, args.width, args.height)
+                  for _ in range(args.frames)]
+    if vframes is None:
+        vrng = np.random.RandomState(777)
+        vframes = [synth_content_frame(vrng, args.width, args.height)
+                   for _ in range(args.valid_frames)]
+    if args.width is None:
+        args.width = frames[0].y.shape[1]
+        args.height = frames[0].y.shape[0]
+        frames = [f for f in frames
+                  if f.y.shape == (args.height, args.width)]
+        vframes = [f for f in vframes
+                   if f.y.shape == (args.height, args.width)]
     frames_y = np.stack([f.y for f in frames])
     vframes_y = np.stack([f.y for f in vframes])
 
