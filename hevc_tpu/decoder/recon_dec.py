@@ -156,13 +156,72 @@ def recon_inter_frame(dec: dict, refs, W: int, H: int,
     intra8 = dec.get("intra8")
     if intra8 is not None and not intra8.any():
         intra8 = None
+    part8 = dec.get("part8")
+    if part8 is not None and not part8.any():
+        part8 = None
     ref_y = jnp.asarray(np.stack([r.y.astype(np.int32) for r in refs]))
     ref_cb = jnp.asarray(np.stack([r.cb.astype(np.int32) for r in refs]))
     ref_cr = jnp.asarray(np.stack([r.cr.astype(np.int32) for r in refs]))
 
+    if part8 is not None:
+        # rectangular-PU CUs: MC per half (mvq8 already carries each
+        # PU's motion; MC is translation-invariant so per-half windows
+        # match the encoder's PU predictions exactly), residual per the
+        # inferred TU split (TU = s/2 for 16/32 CUs, 32 for 64).
+        for (x0, y0, size) in cus:
+            part = int(part8[y0 >> 3, x0 >> 3])
+            if part == 0 or (intra8 is not None
+                             and intra8[y0 >> 3, x0 >> 3]):
+                continue
+            h = size >> 1
+            pus = ([(x0, y0, size, h), (x0, y0 + h, size, h)]
+                   if part == 1
+                   else [(x0, y0, h, size), (x0 + h, y0, h, size)])
+            pred_y = np.zeros((size, size), np.int32)
+            pred_cb = np.zeros((size >> 1, size >> 1), np.int32)
+            pred_cr = np.zeros((size >> 1, size >> 1), np.int32)
+            for (xp, yp, wp, hp) in pus:
+                mv = jnp.asarray(mvq8[yp >> 3, xp >> 3][None])
+                ri = jnp.asarray(
+                    np.array([ref8[yp >> 3, xp >> 3]], np.int32))
+                org = jnp.asarray(np.array([[xp, yp]], np.int32))
+                py = np.asarray(inter.predict_inter_blocks(
+                    ref_y, org, mv, hp, is_luma=True, ref_idx=ri,
+                    size_w=wp))[0]
+                pcb = np.asarray(inter.predict_inter_blocks(
+                    ref_cb, org // 2, mv, hp >> 1, is_luma=False,
+                    ref_idx=ri, size_w=wp >> 1))[0]
+                pcr = np.asarray(inter.predict_inter_blocks(
+                    ref_cr, org // 2, mv, hp >> 1, is_luma=False,
+                    ref_idx=ri, size_w=wp >> 1))[0]
+                dy0, dx0 = yp - y0, xp - x0
+                pred_y[dy0:dy0 + hp, dx0:dx0 + wp] = py
+                pred_cb[dy0 >> 1:(dy0 + hp) >> 1,
+                        dx0 >> 1:(dx0 + wp) >> 1] = pcb
+                pred_cr[dy0 >> 1:(dy0 + hp) >> 1,
+                        dx0 >> 1:(dx0 + wp) >> 1] = pcr
+            tu = 32 if size == 64 else size >> 1
+            ctu_ = tu >> 1
+            for ty in range(size // tu):
+                for tx in range(size // tu):
+                    px, py_ = tx * tu, ty * tu
+                    _add_residual(recon_y, coef_y, x0 + px, y0 + py_, tu,
+                                  qp, pred_y[py_:py_ + tu, px:px + tu])
+            half = size >> 1
+            for ty in range(half // ctu_):
+                for tx in range(half // ctu_):
+                    px, py_ = tx * ctu_, ty * ctu_
+                    _add_residual(recon_cb, coef_cb, (x0 >> 1) + px,
+                                  (y0 >> 1) + py_, ctu_, cqp,
+                                  pred_cb[py_:py_ + ctu_, px:px + ctu_])
+                    _add_residual(recon_cr, coef_cr, (x0 >> 1) + px,
+                                  (y0 >> 1) + py_, ctu_, cqp,
+                                  pred_cr[py_:py_ + ctu_, px:px + ctu_])
+
     for size in (8, 16, 32, 64):
         group = [(x, y) for (x, y, s) in cus if s == size
-                 and not (intra8 is not None and intra8[y >> 3, x >> 3])]
+                 and not (intra8 is not None and intra8[y >> 3, x >> 3])
+                 and not (part8 is not None and part8[y >> 3, x >> 3])]
         if not group:
             continue
         org = np.array(group, np.int32)
@@ -248,9 +307,12 @@ def apply_loop_filters(rec: Frame, dec: dict, qp: int, *,
             intra8 = dec.get("intra8")
             if intra8 is not None and not intra8.any():
                 intra8 = None
+            part8 = dec.get("part8")
+            if part8 is not None and not part8.any():
+                part8 = None
             y, cb, cr = dbk.deblock_frame_inter(
                 y, cb, cr, dec["depth8"], dec["mvq8"], dec["coef_y"], qp,
-                ref8=dec.get("ref8"), intra8=intra8)
+                ref8=dec.get("ref8"), intra8=intra8, part8=part8)
         else:
             y, cb, cr = dbk.deblock_frame(y, cb, cr, dec["depth8"], qp)
     if sao_on and dec.get("sao") is not None:

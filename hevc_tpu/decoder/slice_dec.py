@@ -314,6 +314,7 @@ class PSliceDecoder:
         # (6.4.1: intra neighbours are unavailable for merge/AMVP)
         self.intra8 = np.zeros((H >> 3, W >> 3), bool)
         self.inter8 = np.ones((H >> 3, W >> 3), bool)
+        self.part8 = np.zeros((H >> 3, W >> 3), np.int32)
         self.imodes4 = np.ones((H >> 2, W >> 2), np.int32)  # DC default
         self.field = motion.MotionField(self.mvq8, self.ref8, W, H,
                                         self.zmap, inter8=self.inter8)
@@ -338,7 +339,8 @@ class PSliceDecoder:
         return dict(depth8=self.depth8, mvq8=self.mvq8, ref8=self.ref8,
                     coef_y=self.coef_y, coef_cb=self.coef_cb,
                     coef_cr=self.coef_cr, sao=sao,
-                    intra8=self.intra8, imodes4=self.imodes4)
+                    intra8=self.intra8, imodes4=self.imodes4,
+                    part8=self.part8)
 
     def _coding_quadtree(self, x0, y0, size, depth):
         inside = (x0 + size <= self.W) and (y0 + size <= self.H)
@@ -423,7 +425,11 @@ class PSliceDecoder:
             self._intra_coding_unit(x0, y0, size)
             return
         part = dec.decode_bin(ctx, ctx.idx("part_mode", 0))
-        assert part == 1, "only 2Nx2N inter CUs in toolset"
+        if part == 0:
+            # rectangular PUs: '01' = 2NxN, '00' = Nx2N (amp off)
+            two_nxn = dec.decode_bin(ctx, ctx.idx("part_mode", 1))
+            self._rect_coding_unit(x0, y0, size, 1 if two_nxn else 2)
+            return
         if dec.decode_bin(ctx, ctx.idx("merge_flag")):
             idx = self._read_merge_idx()
             self._set_mv(x0, y0, size, cands[idx])
@@ -455,6 +461,56 @@ class PSliceDecoder:
         root_cbf = dec.decode_bin(ctx, ctx.idx("qt_root_cbf"))
         if root_cbf:
             self._transform_tree(x0, y0, size)
+
+    def _rect_coding_unit(self, x0, y0, size, part):
+        """Two rectangular PUs (mirror of PSliceEncoder._rect_coding_unit):
+        per-PU merge-or-AMVP, rqt_root_cbf, inferred TU split."""
+        dec, ctx = self.dec, self.ctx
+        self.part8[y0 >> 3:(y0 + size) >> 3,
+                   x0 >> 3:(x0 + size) >> 3] = part
+        h = size >> 1
+        pus = ([(x0, y0, size, h), (x0, y0 + h, size, h)] if part == 1
+               else [(x0, y0, h, size), (x0 + h, y0, h, size)])
+        for pidx, (xp, yp, wp, hp) in enumerate(pus):
+            if dec.decode_bin(ctx, ctx.idx("merge_flag")):
+                idx = self._read_merge_idx()
+                cands = motion.merge_candidates(
+                    self.field, xp, yp, size, self.n_refs, w=wp, h=hp,
+                    part_mode=part, part_idx=pidx)
+                mot = cands[idx]
+            else:
+                if self.is_b:
+                    depth = 6 - (size.bit_length() - 1)
+                    bi = dec.decode_bin(ctx, ctx.idx("inter_dir", depth))
+                    assert bi == 0, "bi-pred AMVP PUs not in toolset"
+                    dec.decode_bin(ctx, ctx.idx("inter_dir", 4))
+                ref = self._read_ref_idx()
+                has_x = dec.decode_bin(ctx, ctx.idx("mvd", 0))
+                has_y = dec.decode_bin(ctx, ctx.idx("mvd", 0))
+                gt1_x = (dec.decode_bin(ctx, ctx.idx("mvd", 1))
+                         if has_x else 0)
+                gt1_y = (dec.decode_bin(ctx, ctx.idx("mvd", 1))
+                         if has_y else 0)
+                mvd_x = mvd_y = 0
+                if has_x:
+                    ax = 2 + self._read_eg1() if gt1_x else 1
+                    mvd_x = -ax if dec.decode_bypass() else ax
+                if has_y:
+                    ay = 2 + self._read_eg1() if gt1_y else 1
+                    mvd_y = -ay if dec.decode_bypass() else ay
+                mvp_idx = dec.decode_bin(ctx, ctx.idx("mvp_idx"))
+                mvp = motion.amvp_candidates(
+                    self.field, xp, yp, wp, hp, ref, self.ref_pocs,
+                    self.poc, cu_size=size, part_mode=part,
+                    part_idx=pidx)[mvp_idx]
+                mot = (mvp[0] + mvd_x, mvp[1] + mvd_y, ref)
+            self.mvq8[yp >> 3:(yp + hp) >> 3,
+                      xp >> 3:(xp + wp) >> 3] = mot[:2]
+            self.ref8[yp >> 3:(yp + hp) >> 3,
+                      xp >> 3:(xp + wp) >> 3] = mot[2]
+        root_cbf = dec.decode_bin(ctx, ctx.idx("qt_root_cbf"))
+        if root_cbf:
+            self._transform_tree(x0, y0, size, force_split=True)
 
     # ---- intra-in-P CU (mirror of PSliceEncoder._intra_coding_unit) --
     def _mpm_for4_p(self, x, y):
@@ -535,11 +591,11 @@ class PSliceDecoder:
                 plane[y0 >> 1:(y0 >> 1) + half,
                       x0 >> 1:(x0 >> 1) + half] = blk
 
-    def _transform_tree(self, x0, y0, size):
+    def _transform_tree(self, x0, y0, size, force_split=False):
         dec, ctx = self.dec, self.ctx
         cbf_cb = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 0))
         cbf_cr = dec.decode_bin(ctx, ctx.idx("qt_cbf_chroma", 0))
-        if size > 32:
+        if size > 32 or force_split:
             h = size >> 1
             for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
                 x1, y1 = x0 + dx, y0 + dy

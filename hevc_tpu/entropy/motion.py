@@ -69,21 +69,64 @@ class MotionField:
                 int(self.mvq8[yn >> 3, xn >> 3, 1]), r)
 
 
+def _pu_aware_at(field: MotionField, cur_z: int, x0: int, y0: int,
+                 size: int, part_mode: int, part_idx: int):
+    """Neighbour-motion lookup with the same-CB PartIdx availability of
+    6.4.2: for the second PU of a rectangular partition, positions inside
+    the FIRST PU of the same CB are available (PU0 precedes PU1 in
+    decoding order) even though their 4x4 z-scan address exceeds the
+    current PB's — the plain z-map test would wrongly reject them (HM
+    getPULeft/getPUAbove return the own CU's PU0 without a z check).
+
+    (x0, y0) here are the PU coordinates; the CB origin is derived from
+    the partition geometry. part_idx 0 never probes its own CB, so the
+    plain lookup falls through."""
+    if part_idx != 1 or part_mode == 0:
+        return lambda xn, yn: field.at(xn, yn, cur_z)
+    cx0 = x0 - (size >> 1) if part_mode == 2 else x0
+    cy0 = y0 - (size >> 1) if part_mode == 1 else y0
+
+    def at(xn, yn):
+        if cx0 <= xn < cx0 + size and cy0 <= yn < cy0 + size:
+            in_pu0 = ((yn < cy0 + (size >> 1)) if part_mode == 1
+                      else (xn < cx0 + (size >> 1)))
+            if not in_pu0:
+                return None
+            r = (0 if field.ref8 is None
+                 else int(field.ref8[yn >> 3, xn >> 3]))
+            return (int(field.mvq8[yn >> 3, xn >> 3, 0]),
+                    int(field.mvq8[yn >> 3, xn >> 3, 1]), r)
+        return field.at(xn, yn, cur_z)
+
+    return at
+
+
 def merge_candidates(field: MotionField, x0: int, y0: int, size: int,
                      n_active_refs: int = 1,
-                     max_cands: int = 5) -> List[Motion]:
+                     max_cands: int = 5, w: int = None, h: int = None,
+                     part_mode: int = 0, part_idx: int = 0) -> List[Motion]:
     """Merge candidate list (8.5.3.2.3), uni-L0, TMVP off.
 
     Spatial A1 B1 B0 A0 (+B2 if fewer than 4) with normative pruning on
     full motion (mv AND refIdx), then zero-MV candidates iterating
-    refIdx 0..n_active_refs-1 (the P-slice zeroIdx rule)."""
-    cur_z = field.zmap[y0 >> 2, x0 >> 2]
-    at = field.at
+    refIdx 0..n_active_refs-1 (the P-slice zeroIdx rule).
 
-    a1 = at(x0 - 1, y0 + size - 1, cur_z)
-    b1 = at(x0 + size - 1, y0 - 1, cur_z)
-    b0 = at(x0 + size, y0 - 1, cur_z)
-    a0 = at(x0 - 1, y0 + size, cur_z)
+    Rectangular PUs (x0/y0/w/h = the PU): per 8.5.3.2.3 the second PU
+    excludes the candidate inside the first PU — A1 unavailable for
+    PartIdx 1 of Nx2N (part_mode 2), B1 unavailable for PartIdx 1 of
+    2NxN (part_mode 1) — so merging can never reproduce 2Nx2N motion.
+    """
+    w = size if w is None else w
+    h = size if h is None else h
+    cur_z = field.zmap[y0 >> 2, x0 >> 2]
+    at = _pu_aware_at(field, cur_z, x0, y0, size, part_mode, part_idx)
+
+    a1 = (None if (part_idx == 1 and part_mode == 2)
+          else at(x0 - 1, y0 + h - 1))
+    b1 = (None if (part_idx == 1 and part_mode == 1)
+          else at(x0 + w - 1, y0 - 1))
+    b0 = at(x0 + w, y0 - 1)
+    a0 = at(x0 - 1, y0 + h)
     cands: List[Motion] = []
     if a1 is not None:
         cands.append(a1)
@@ -94,7 +137,7 @@ def merge_candidates(field: MotionField, x0: int, y0: int, size: int,
     if a0 is not None and a0 != a1:
         cands.append(a0)
     if len(cands) < 4:
-        b2 = at(x0 - 1, y0 - 1, cur_z)
+        b2 = at(x0 - 1, y0 - 1)
         if b2 is not None and b2 != a1 and b2 != b1:
             cands.append(b2)
     zero_idx = 0
@@ -107,15 +150,20 @@ def merge_candidates(field: MotionField, x0: int, y0: int, size: int,
 
 def amvp_candidates(field: MotionField, x0: int, y0: int, w: int, h: int,
                     target_ref: int, ref_pocs: Sequence[int],
-                    cur_poc: int) -> List[Tuple[int, int]]:
+                    cur_poc: int, cu_size: int = 0, part_mode: int = 0,
+                    part_idx: int = 0) -> List[Tuple[int, int]]:
     """Two-entry AMVP candidate list (8.5.3.2.6-8), uni-L0, TMVP off.
 
     ref_pocs[r] = POC of reference index r in RefPicList0. Candidate A
     scans A0, A1 (same-ref first, then POC-scaled); candidate B scans
     B0, B1, B2 same-ref, and is only scaled when no A neighbour exists
-    (isScaledFlag rule). Pruned and zero-padded to exactly 2."""
+    (isScaledFlag rule). Pruned and zero-padded to exactly 2.
+
+    cu_size/part_mode/part_idx: rectangular-PU context — same-CB PU0
+    positions are available to PU1 (6.4.2), see _pu_aware_at."""
     cur_z = field.zmap[y0 >> 2, x0 >> 2]
-    at = field.at
+    at = _pu_aware_at(field, cur_z, x0, y0, cu_size or max(w, h),
+                      part_mode, part_idx)
     tgt_poc = ref_pocs[target_ref]
 
     a_pos = ((x0 - 1, y0 + h), (x0 - 1, y0 + h - 1))       # A0, A1
@@ -124,14 +172,14 @@ def amvp_candidates(field: MotionField, x0: int, y0: int, w: int, h: int,
 
     def same_ref_scan(positions):
         for (xn, yn) in positions:
-            m = at(xn, yn, cur_z)
+            m = at(xn, yn)
             if m is not None and ref_pocs[m[2]] == tgt_poc:
                 return (m[0], m[1])
         return None
 
     def scaled_scan(positions):
         for (xn, yn) in positions:
-            m = at(xn, yn, cur_z)
+            m = at(xn, yn)
             if m is not None:
                 tb = cur_poc - tgt_poc
                 td = cur_poc - ref_pocs[m[2]]
@@ -139,7 +187,7 @@ def amvp_candidates(field: MotionField, x0: int, y0: int, w: int, h: int,
         return None
 
     # isScaledFlagLX (step 1): any A neighbour available
-    is_scaled = any(at(xn, yn, cur_z) is not None for (xn, yn) in a_pos)
+    is_scaled = any(at(xn, yn) is not None for (xn, yn) in a_pos)
 
     # candidate A: same-ref scan, then scaled scan (steps 2-3)
     mv_a = same_ref_scan(a_pos)

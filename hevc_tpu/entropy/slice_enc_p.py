@@ -47,13 +47,21 @@ class PSliceEncoder:
                          else [poc - 1 - i for i in range(n_refs)])
 
     def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
-               sao=None, ref8=None, intra8=None, imode8=None):
+               sao=None, ref8=None, intra8=None, imode8=None,
+               part8=None):
         """intra8/imode8: optional [H8, W8] intra-in-P decision maps
         (TEncCu.cpp:1438 escape): intra8 marks intra-coded CUs, imode8
         their luma mode. Intra CUs are excluded from the motion field
-        (6.4.1 inter availability)."""
+        (6.4.1 inter availability).
+
+        part8: optional [H8, W8] PU partition per cell (0 = 2Nx2N,
+        1 = 2NxN, 2 = Nx2N); rectangular CUs code part_mode + two PUs
+        with per-PU merge/AMVP and the inferred TU split (7.4.9.8
+        interSplitFlag with max_transform_hierarchy_depth_inter = 0).
+        The per-8x8 mvq8/ref8 maps already carry each PU's motion."""
         self.depth8 = np.asarray(depth8)
         self.mvq8 = np.asarray(mvq8)
+        self.part8 = None if part8 is None else np.asarray(part8)
         self.ref8 = None if ref8 is None else np.asarray(ref8)
         self.intra8 = None if intra8 is None else np.asarray(intra8)
         if imode8 is not None and self.intra8 is not None:
@@ -246,6 +254,11 @@ class PSliceEncoder:
         if self.intra8 is not None and self.intra8[y0 >> 3, x0 >> 3]:
             self._intra_coding_unit(x0, y0, size)
             return
+        part = (0 if self.part8 is None
+                else int(self.part8[y0 >> 3, x0 >> 3]))
+        if part:
+            self._rect_coding_unit(x0, y0, size, part)
+            return
         enc, ctx = self.enc, self.ctx
         mv = (int(self.mvq8[y0 >> 3, x0 >> 3, 0]),
               int(self.mvq8[y0 >> 3, x0 >> 3, 1]))
@@ -298,6 +311,17 @@ class PSliceEncoder:
         mvp_idx = (0 if self.n_refs == 1
                    else int(mvd_cost(mvps[1]) < mvd_cost(mvps[0])))
         mvp = mvps[mvp_idx]
+        self._write_mvd(mv, mvp)
+        enc.encode_bin(ctx, ctx.idx("mvp_idx"), mvp_idx)
+
+        enc.encode_bin(ctx, ctx.idx("qt_root_cbf"), root_cbf)
+        if not root_cbf:
+            return
+        self._transform_tree(x0, y0, size, cbf_cb, cbf_cr)
+
+    def _write_mvd(self, mv, mvp):
+        """abs_mvd_greater0/1 + abs_mvd_minus2 + sign (7.3.8.9)."""
+        enc, ctx = self.enc, self.ctx
         mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
         ax, ay = abs(mvd[0]), abs(mvd[1])
         enc.encode_bin(ctx, ctx.idx("mvd", 0), int(ax > 0))
@@ -314,12 +338,60 @@ class PSliceEncoder:
             if ay > 1:
                 self._write_eg1(ay - 2)
             enc.encode_bypass(int(mvd[1] < 0))
-        enc.encode_bin(ctx, ctx.idx("mvp_idx"), mvp_idx)
 
+    def _rect_coding_unit(self, x0, y0, size, part):
+        """Inter CU with two rectangular PUs (2NxN part=1 / Nx2N part=2):
+        skip=0, part_mode '01'/'00' (amp off, 9.3.3.5), per-PU
+        merge-or-AMVP motion, rqt_root_cbf, inferred TU split for
+        16/32 CUs (7.4.9.8 interSplitFlag)."""
+        enc, ctx = self.enc, self.ctx
+        enc.encode_bin(ctx, ctx.idx("skip_flag",
+                                    self._skip_ctx_inc(x0, y0)), 0)
+        enc.encode_bin(ctx, ctx.idx("pred_mode"), 0)
+        enc.encode_bin(ctx, ctx.idx("part_mode", 0), 0)
+        enc.encode_bin(ctx, ctx.idx("part_mode", 1), int(part == 1))
+        h = size >> 1
+        pus = ([(x0, y0, size, h), (x0, y0 + h, size, h)] if part == 1
+               else [(x0, y0, h, size), (x0 + h, y0, h, size)])
+        for pidx, (xp, yp, wp, hp) in enumerate(pus):
+            mv = (int(self.mvq8[yp >> 3, xp >> 3, 0]),
+                  int(self.mvq8[yp >> 3, xp >> 3, 1]))
+            ref = (0 if self.ref8 is None
+                   else int(self.ref8[yp >> 3, xp >> 3]))
+            mot = (mv[0], mv[1], ref)
+            cands = motion.merge_candidates(
+                self.field, xp, yp, size, self.n_refs, w=wp, h=hp,
+                part_mode=part, part_idx=pidx)
+            merge_idx = cands.index(mot) if mot in cands else -1
+            enc.encode_bin(ctx, ctx.idx("merge_flag"),
+                           int(merge_idx >= 0))
+            if merge_idx >= 0:
+                self._write_merge_idx(merge_idx)
+                continue
+            if self.is_b:
+                depth = 6 - (size.bit_length() - 1)
+                enc.encode_bin(ctx, ctx.idx("inter_dir", depth), 0)
+                enc.encode_bin(ctx, ctx.idx("inter_dir", 4), 0)
+            if self.n_refs > 1:
+                self._write_ref_idx(ref)
+            mvps = motion.amvp_candidates(self.field, xp, yp, wp, hp,
+                                          ref, self.ref_pocs, self.poc,
+                                          cu_size=size, part_mode=part,
+                                          part_idx=pidx)
+
+            def mvd_cost(p):
+                return abs(mv[0] - p[0]) + abs(mv[1] - p[1])
+
+            mvp_idx = int(mvd_cost(mvps[1]) < mvd_cost(mvps[0]))
+            self._write_mvd(mv, mvps[mvp_idx])
+            enc.encode_bin(ctx, ctx.idx("mvp_idx"), mvp_idx)
+        cbf_cb = self._tu_cbf(1, x0, y0, size)
+        cbf_cr = self._tu_cbf(2, x0, y0, size)
+        root_cbf = int(self._tu_cbf(0, x0, y0, size) or cbf_cb or cbf_cr)
         enc.encode_bin(ctx, ctx.idx("qt_root_cbf"), root_cbf)
-        if not root_cbf:
-            return
-        self._transform_tree(x0, y0, size, cbf_cb, cbf_cr)
+        if root_cbf:
+            self._transform_tree(x0, y0, size, cbf_cb, cbf_cr,
+                                 force_split=True)
 
     def _tu_cbf(self, plane, x0, y0, size):
         if plane == 0:
@@ -332,9 +404,10 @@ class PSliceEncoder:
                                x0 >> 1:(x0 + size) >> 1]
         return int(np.any(blk != 0))
 
-    def _transform_tree(self, x0, y0, size, cbf_cb, cbf_cr):
+    def _transform_tree(self, x0, y0, size, cbf_cb, cbf_cr,
+                        force_split=False):
         enc, ctx = self.enc, self.ctx
-        split = size > 32
+        split = size > 32 or force_split
         enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", 0), cbf_cb)
         enc.encode_bin(ctx, ctx.idx("qt_cbf_chroma", 0), cbf_cr)
         if split:

@@ -792,11 +792,16 @@ struct PSliceEnc {
   // intra-in-P decisions (twin of PSliceEncoder intra8/imodes4)
   const int32_t* intra8 = nullptr;    // per 8x8: CU intra-coded
   const int32_t* imodes4 = nullptr;   // per 4x4: intra mode (DC at inter)
+  // rectangular-PU partition per 8x8 (0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N)
+  const int32_t* part8 = nullptr;
 
   struct Mot { int x, y, ref; bool ok; };
 
   bool intra_at(int x, int y) const {
     return intra8 && intra8[(y >> 3) * W8 + (x >> 3)] != 0;
+  }
+  int part_at(int x, int y) const {
+    return part8 ? part8[(y >> 3) * W8 + (x >> 3)] : 0;
   }
 
   int cu_depth_at(int x, int y) const { return depth8[(y >> 3) * W8 + (x >> 3)]; }
@@ -817,20 +822,43 @@ struct PSliceEnc {
     int mv[2]; mv_at(xn, yn, mv);
     return {mv[0], mv[1], ref_at(xn, yn), true};
   }
+  // Same-CB PartIdx availability (6.4.2; twin of motion._pu_aware_at):
+  // for PU1 of a rectangular CB, positions inside PU0 are available
+  // even though their 4x4 z-scan address exceeds the current PB's.
+  Mot at_pu(int xn, int yn, int64_t cur_z, int px0, int py0, int cu,
+            int part_mode, int part_idx) const {
+    if (part_idx == 1 && part_mode != 0) {
+      int cx0 = part_mode == 2 ? px0 - (cu >> 1) : px0;
+      int cy0 = part_mode == 1 ? py0 - (cu >> 1) : py0;
+      if (xn >= cx0 && xn < cx0 + cu && yn >= cy0 && yn < cy0 + cu) {
+        bool in_pu0 = part_mode == 1 ? (yn < cy0 + (cu >> 1))
+                                     : (xn < cx0 + (cu >> 1));
+        if (!in_pu0) return {0, 0, 0, false};
+        int mv[2]; mv_at(xn, yn, mv);
+        return {mv[0], mv[1], ref_at(xn, yn), true};
+      }
+    }
+    return at(xn, yn, cur_z);
+  }
   int ref_poc(int r) const { return ref_pocs ? ref_pocs[r] : poc - 1 - r; }
 
   // Two-entry AMVP list (8.5.3.2.6-8; twin of motion.amvp_candidates):
   // same-ref scans first, scaled fallbacks per the isScaledFlag rule.
   void amvp2(int x0, int y0, int w, int h, int target_ref,
-             int mvp[2][2]) const {
+             int mvp[2][2], int cu_size = 0, int part_mode = 0,
+             int part_idx = 0) const {
     int64_t cur = zaddr(x0, y0, n_ctu_x);
     int tgt_poc = ref_poc(target_ref);
+    int cu = cu_size ? cu_size : (w > h ? w : h);
+    auto lookup = [&](int xn, int yn) {
+      return at_pu(xn, yn, cur, x0, y0, cu, part_mode, part_idx);
+    };
     const int a_pos[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
     const int b_pos[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
                              {x0 - 1, y0 - 1}};
     auto same_ref_scan = [&](const int (*pos)[2], int np, int out[2]) {
       for (int i = 0; i < np; ++i) {
-        Mot m = at(pos[i][0], pos[i][1], cur);
+        Mot m = lookup(pos[i][0], pos[i][1]);
         if (m.ok && ref_poc(m.ref) == tgt_poc) {
           out[0] = m.x; out[1] = m.y; return true;
         }
@@ -839,7 +867,7 @@ struct PSliceEnc {
     };
     auto scaled_scan = [&](const int (*pos)[2], int np, int out[2]) {
       for (int i = 0; i < np; ++i) {
-        Mot m = at(pos[i][0], pos[i][1], cur);
+        Mot m = lookup(pos[i][0], pos[i][1]);
         if (m.ok) {
           int tb = poc - tgt_poc, td = poc - ref_poc(m.ref);
           int mv[2] = {m.x, m.y};
@@ -849,8 +877,8 @@ struct PSliceEnc {
       }
       return false;
     };
-    bool is_scaled = at(a_pos[0][0], a_pos[0][1], cur).ok ||
-                     at(a_pos[1][0], a_pos[1][1], cur).ok;
+    bool is_scaled = lookup(a_pos[0][0], a_pos[0][1]).ok ||
+                     lookup(a_pos[1][0], a_pos[1][1]).ok;
     int mv_a[2], mv_b[2];
     bool ha = same_ref_scan(a_pos, 2, mv_a);
     if (!ha && is_scaled) ha = scaled_scan(a_pos, 2, mv_a);
@@ -902,8 +930,9 @@ struct PSliceEnc {
                            false);
   }
 
-  void transform_tree(int x0, int y0, int size, bool cbf_cb, bool cbf_cr) {
-    bool split = size > 32;
+  void transform_tree(int x0, int y0, int size, bool cbf_cb, bool cbf_cr,
+                      bool force_split = false) {
+    bool split = size > 32 || force_split;
     c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cb);
     c.bin(CTX_QT_CBF_CHROMA + 0, cbf_cr);
     if (split) {
@@ -931,12 +960,23 @@ struct PSliceEnc {
   // (twin of entropy/motion.merge_candidates): spatial A1 B1 B0 A0
   // (+B2 when fewer than 4), pruned on full motion (mv AND refIdx),
   // zero-MV fill iterating refIdx 0..n_refs-1.
-  int merge_cands(int x0, int y0, int size, int cands[5][3]) const {
+  int merge_cands(int x0, int y0, int size, int cands[5][3],
+                  int w = 0, int h = 0, int part_mode = 0,
+                  int part_idx = 0) const {
+    if (w == 0) w = size;
+    if (h == 0) h = size;
     int64_t cur = zaddr(x0, y0, n_ctu_x);
-    Mot a1 = at(x0 - 1, y0 + size - 1, cur);
-    Mot b1 = at(x0 + size - 1, y0 - 1, cur);
-    Mot b0 = at(x0 + size, y0 - 1, cur);
-    Mot a0 = at(x0 - 1, y0 + size, cur);
+    auto lookup = [&](int xn, int yn) {
+      return at_pu(xn, yn, cur, x0, y0, size, part_mode, part_idx);
+    };
+    // 8.5.3.2.3 second-PU exclusions: A1 off for Nx2N PU1, B1 off for
+    // 2NxN PU1 (merge must not reproduce the 2Nx2N motion)
+    Mot a1 = (part_idx == 1 && part_mode == 2)
+                 ? Mot{0, 0, 0, false} : lookup(x0 - 1, y0 + h - 1);
+    Mot b1 = (part_idx == 1 && part_mode == 1)
+                 ? Mot{0, 0, 0, false} : lookup(x0 + w - 1, y0 - 1);
+    Mot b0 = lookup(x0 + w, y0 - 1);
+    Mot a0 = lookup(x0 - 1, y0 + h);
     auto same = [](const Mot& a, const Mot& b) {
       return a.ok && b.ok && a.x == b.x && a.y == b.y && a.ref == b.ref;
     };
@@ -949,7 +989,7 @@ struct PSliceEnc {
     if (b0.ok && !same(b0, b1)) push(b0);
     if (a0.ok && !same(a0, a1)) push(a0);
     if (n < 4) {
-      Mot b2 = at(x0 - 1, y0 - 1, cur);
+      Mot b2 = lookup(x0 - 1, y0 - 1);
       if (b2.ok && !same(b2, a1) && !same(b2, b1)) push(b2);
     }
     int zero_idx = 0;
@@ -992,6 +1032,91 @@ struct PSliceEnc {
     return inc;
   }
 
+  void write_mvd(const int mv[2], const int* mvp) {
+    int mvd[2] = {mv[0] - mvp[0], mv[1] - mvp[1]};
+    int ax = mvd[0] < 0 ? -mvd[0] : mvd[0];
+    int ay = mvd[1] < 0 ? -mvd[1] : mvd[1];
+    c.bin(CTX_MVD + 0, ax > 0);
+    c.bin(CTX_MVD + 0, ay > 0);
+    if (ax > 0) c.bin(CTX_MVD + 1, ax > 1);
+    if (ay > 0) c.bin(CTX_MVD + 1, ay > 1);
+    if (ax > 0) {
+      if (ax > 1) eg1(ax - 2);
+      c.ep(mvd[0] < 0);
+    }
+    if (ay > 0) {
+      if (ay > 1) eg1(ay - 2);
+      c.ep(mvd[1] < 0);
+    }
+  }
+
+  // Rectangular-PU inter CU (twin of PSliceEncoder._rect_coding_unit):
+  // part_mode '01' (2NxN) / '00' (Nx2N), per-PU merge-or-AMVP motion,
+  // rqt_root_cbf, inferred TU split (7.4.9.8 interSplitFlag).
+  void rect_coding_unit(int x0, int y0, int size, int part) {
+    c.bin(CTX_SKIP + skip_ctx_inc(x0, y0), 0);
+    c.bin(CTX_PRED_MODE, 0);
+    c.bin(CTX_PART_MODE + 0, 0);
+    c.bin(CTX_PART_MODE + 1, part == 1);
+    int h = size >> 1;
+    int pus[2][4];
+    if (part == 1) {
+      int t0[4] = {x0, y0, size, h}, t1[4] = {x0, y0 + h, size, h};
+      std::memcpy(pus[0], t0, sizeof t0);
+      std::memcpy(pus[1], t1, sizeof t1);
+    } else {
+      int t0[4] = {x0, y0, h, size}, t1[4] = {x0 + h, y0, h, size};
+      std::memcpy(pus[0], t0, sizeof t0);
+      std::memcpy(pus[1], t1, sizeof t1);
+    }
+    for (int pidx = 0; pidx < 2; ++pidx) {
+      int xp = pus[pidx][0], yp = pus[pidx][1];
+      int wp = pus[pidx][2], hp = pus[pidx][3];
+      int mv[2];
+      mv_at(xp, yp, mv);
+      int ref = ref_at(xp, yp);
+      int cands[5][3];
+      merge_cands(xp, yp, size, cands, wp, hp, part, pidx);
+      int merge_idx = -1;
+      for (int i = 0; i < 5; ++i)
+        if (cands[i][0] == mv[0] && cands[i][1] == mv[1] &&
+            cands[i][2] == ref) {
+          merge_idx = i;
+          break;
+        }
+      c.bin(CTX_MERGE_FLAG, merge_idx >= 0);
+      if (merge_idx >= 0) {
+        write_merge_idx(merge_idx);
+        continue;
+      }
+      if (is_b) {
+        int depth = 0;
+        for (int s = size; s < 64; s <<= 1) ++depth;
+        c.bin(CTX_INTER_DIR + depth, 0);
+        c.bin(CTX_INTER_DIR + 4, 0);
+      }
+      if (n_refs > 1) write_ref_idx(ref);
+      int mvps[2][2];
+      amvp2(xp, yp, wp, hp, ref, mvps, size, part, pidx);
+      int c0 = (mv[0] - mvps[0][0] < 0 ? mvps[0][0] - mv[0]
+                                       : mv[0] - mvps[0][0])
+             + (mv[1] - mvps[0][1] < 0 ? mvps[0][1] - mv[1]
+                                       : mv[1] - mvps[0][1]);
+      int c1 = (mv[0] - mvps[1][0] < 0 ? mvps[1][0] - mv[0]
+                                       : mv[0] - mvps[1][0])
+             + (mv[1] - mvps[1][1] < 0 ? mvps[1][1] - mv[1]
+                                       : mv[1] - mvps[1][1]);
+      int mvp_idx = c1 < c0 ? 1 : 0;
+      write_mvd(mv, mvps[mvp_idx]);
+      c.bin(CTX_MVP_IDX, mvp_idx);
+    }
+    bool ccb = tu_cbf(1, x0, y0, size);
+    bool ccr = tu_cbf(2, x0, y0, size);
+    int root = (tu_cbf(0, x0, y0, size) || ccb || ccr) ? 1 : 0;
+    c.bin(CTX_QT_ROOT_CBF, root);
+    if (root) transform_tree(x0, y0, size, ccb, ccr, true);
+  }
+
   void coding_unit(int x0, int y0, int size) {
     if (intra_at(x0, y0)) {
       // intra-in-P CU (pred_mode_flag = 1, 2Nx2N; twin of
@@ -1011,6 +1136,11 @@ struct PSliceEnc {
       se.code_mode_payload(mode, mpm);
       c.bin(CTX_CHROMA_PRED, 0);  // DM
       se.transform_tree(x0, y0, size, mode);
+      return;
+    }
+    int part = part_at(x0, y0);
+    if (part) {
+      rect_coding_unit(x0, y0, size, part);
       return;
     }
     int mv[2];
@@ -1127,7 +1257,8 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
                                    const int32_t* sao_band,
                                    const int32_t* sao_off,
                                    const int32_t* intra8,
-                                   const int32_t* imodes4) {
+                                   const int32_t* imodes4,
+                                   const int32_t* part8) {
   BitWriter bw;
   Cabac cab(bw, qp, is_b ? kInitB : kInitP);
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
@@ -1136,7 +1267,7 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
                pad_w, pad_h, pad_w / 8, pad_w / 2, nx,
                std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0),
                is_b != 0, ref8, n_refs < 1 ? 1 : n_refs, poc, ref_pocs,
-               intra8, imodes4};
+               intra8, imodes4, part8};
   SaoParams sao{sao_type, sao_eo, sao_band, sao_off, n_ctu};
   for (int ci = 0; ci < n_ctu; ++ci) {
     int cy = ci / nx, cx = ci % nx;

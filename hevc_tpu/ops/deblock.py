@@ -28,21 +28,38 @@ TC_TABLE = np.array(
                 22, 24], np.int32)
 
 
-def tu_size8(depth8):
-    """[H8, W8] TU size (min(cu,32)) per 8x8 cell from the depth map."""
+def tu_size8(depth8, part8=None):
+    """[H8, W8] TU size (min(cu,32)) per 8x8 cell from the depth map.
+    Rectangular-PU CUs (part8 != 0) at 16/32 infer one TU split
+    (7.4.9.8 interSplitFlag) -> TU = cu/2."""
     cu = 64 >> jnp.asarray(depth8)
-    return jnp.minimum(cu, 32)
+    tu = jnp.minimum(cu, 32)
+    if part8 is not None:
+        p = jnp.asarray(part8)
+        tu = jnp.where((p != 0) & (cu <= 32), cu // 2, tu)
+    return tu
 
 
-def edge_masks(depth8):
+def edge_masks(depth8, part8=None):
     """(vert [H8, W8], horz [H8, W8]) bool: does an edge run along the
-    left / top border of each 8x8 cell (TU/CU boundaries, bS=2 intra)."""
+    left / top border of each 8x8 cell (TU/CU boundaries, bS=2 intra).
+
+    part8: optional [H8, W8] inter PU partition per cell (0 = 2Nx2N,
+    1 = 2NxN, 2 = Nx2N). Rectangular PUs add a prediction-boundary edge
+    through the CU middle (8.7.2.2 prediction block edges)."""
     t8 = tu_size8(depth8)
     h8, w8 = t8.shape
     x8 = jnp.arange(w8)[None, :]
     y8 = jnp.arange(h8)[:, None]
     vert = ((x8 * 8) % t8 == 0) & (x8 > 0)
     horz = ((y8 * 8) % t8 == 0) & (y8 > 0)
+    if part8 is not None:
+        p = jnp.asarray(part8)
+        cu = 64 >> jnp.asarray(depth8)
+        ox = (x8 * 8) % cu
+        oy = (y8 * 8) % cu
+        vert = vert | ((p == 2) & (ox == cu // 2) & (x8 > 0))
+        horz = horz | ((p == 1) & (oy == cu // 2) & (y8 > 0))
     return vert, horz
 
 
@@ -151,10 +168,11 @@ def _deblock_luma_vertical(plane, vert_mask, qp, bs=None):
     return jnp.roll(out, -4, axis=1)
 
 
-def deblock_luma(plane, depth8, qp: int, bs_vert=None, bs_horz=None):
+def deblock_luma(plane, depth8, qp: int, bs_vert=None, bs_horz=None,
+                 part8=None):
     """Full luma deblock: vertical edges then horizontal edges."""
     plane = jnp.asarray(plane, jnp.int32)
-    vert, horz = edge_masks(depth8)
+    vert, horz = edge_masks(depth8, part8)
     out = _deblock_luma_vertical(plane, vert, qp, bs_vert)
     out = _deblock_luma_vertical(
         out.T, horz.T, qp, None if bs_horz is None else bs_horz.T).T
@@ -178,7 +196,8 @@ def _nz_tu8(coef_y, tu8):
     return jnp.where(tu8 == 8, nz8, jnp.where(tu8 == 16, nz16, nz32))
 
 
-def inter_bs_masks(depth8, mvq8, coef_y, ref8=None, intra8=None):
+def inter_bs_masks(depth8, mvq8, coef_y, ref8=None, intra8=None,
+                   part8=None):
     """Boundary strengths for a P slice per 8x8 cell.
 
     H.265 8.7.2.4 under uni-prediction: bS = 2 on an edge where either
@@ -191,9 +210,9 @@ def inter_bs_masks(depth8, mvq8, coef_y, ref8=None, intra8=None):
     """
     depth8 = jnp.asarray(depth8)
     mv = jnp.asarray(mvq8, jnp.int32)
-    tu8 = tu_size8(depth8)
+    tu8 = tu_size8(depth8, part8)
     nz = _nz_tu8(coef_y, tu8)
-    vert, horz = edge_masks(depth8)
+    vert, horz = edge_masks(depth8, part8)
 
     mvd_v = (jnp.abs(mv - jnp.roll(mv, 1, axis=1)).max(-1)) >= 4
     nz_v = nz | jnp.roll(nz, 1, axis=1)
@@ -284,14 +303,15 @@ def deblock_frame(recon_y, recon_cb, recon_cr, depth8, qp: int):
 
 
 def deblock_frame_inter(recon_y, recon_cb, recon_cr, depth8, mvq8, coef_y,
-                        qp: int, ref8=None, intra8=None):
+                        qp: int, ref8=None, intra8=None, part8=None):
     """Deblock a P picture: luma edges at bS >= 1 where the normative
     conditions hold; chroma is filtered only at bS = 2 edges, i.e. where
     an intra-coded CU borders the edge (8.7.2.5.5) — with no intra CUs
     chroma passes through."""
     from . import quant as quant_lib
-    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y, ref8, intra8)
-    y = deblock_luma(recon_y, depth8, qp, bs_v, bs_h)
+    bs_v, bs_h = inter_bs_masks(depth8, mvq8, coef_y, ref8, intra8,
+                                part8)
+    y = deblock_luma(recon_y, depth8, qp, bs_v, bs_h, part8=part8)
     cb = jnp.asarray(recon_cb, jnp.int32)
     cr = jnp.asarray(recon_cr, jnp.int32)
     if intra8 is not None:

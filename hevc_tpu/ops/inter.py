@@ -155,7 +155,7 @@ def predict_inter_ctu(ref_plane, origins, mv_q, *, is_luma=True):
 
 
 def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
-                         is_luma=True, ref_idx=None):
+                         is_luma=True, ref_idx=None, size_w=None):
     """Batched MC of size x size blocks at quarter(eighth)-pel MVs.
 
     origins: [B, 2] (x, y) in the plane's own coordinates (chroma origins
@@ -163,11 +163,16 @@ def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
     the same MV at 1/8 resolution per 4:2:0 (H.265 8.5.3.2.9).
     Multi-reference: pass ref_plane [R, H, W] + ref_idx [B] to gather
     each block's window from its own reference picture.
+    size_w: optional block width for rectangular PUs (2NxN/Nx2N halves,
+    TEncSearch.cpp:2912 predInterSearch partitions); size stays the
+    height. MC is separable, so rect blocks reuse the same filters.
     """
     if ref_idx is not None:
         R, h, w = ref_plane.shape
     else:
         h, w = ref_plane.shape
+    size_h = size
+    size_w = size if size_w is None else size_w
     if is_luma:
         border, lead = 7, 3
         mv_int = mv_q >> 2
@@ -180,11 +185,12 @@ def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
         n_frac = 8
 
     B = origins.shape[0]
-    ext = size + border
+    ext_h = size_h + border
+    ext_w = size_w + border
     ys = jnp.clip(origins[:, 1:2, None] + mv_int[:, 1:2, None] - lead
-                  + jnp.arange(ext)[None, :, None], 0, h - 1)
+                  + jnp.arange(ext_h)[None, :, None], 0, h - 1)
     xs = jnp.clip(origins[:, 0:1, None] + mv_int[:, 0:1, None] - lead
-                  + jnp.arange(ext)[None, None, :], 0, w - 1)
+                  + jnp.arange(ext_w)[None, None, :], 0, w - 1)
     idx = ys * w + xs
     if ref_idx is not None:
         idx = idx + (ref_idx.astype(jnp.int32) * (h * w))[:, None, None]
@@ -193,35 +199,40 @@ def predict_inter_blocks(ref_plane, origins, mv_q, size: int, *,
     mc = mc_luma if is_luma else mc_chroma
     # all frac combos computed, select per block (frac is data-dependent)
     preds = jnp.stack([
-        jnp.stack([mc(win, fx, fy, size, size) for fx in range(n_frac)], 0)
-        for fy in range(n_frac)], 0)          # [n_frac, n_frac, B, s, s]
+        jnp.stack([mc(win, fx, fy, size_h, size_w)
+                   for fx in range(n_frac)], 0)
+        for fy in range(n_frac)], 0)       # [n_frac, n_frac, B, sh, sw]
     return preds[frac[:, 1], frac[:, 0], jnp.arange(B)]
 
 
 def quarter_refine_blocks(cur_blocks, ref_plane, origins, mv_int,
-                          size: int, ref_idx=None):
+                          size: int, ref_idx=None, size_w=None):
     """Quarter-pel refinement sweep around integer MVs for size x size
     luma blocks: mv_q = 4*mv_int + (dx, dy), dx/dy in [-3, 3].
 
-    cur_blocks: [B, s, s]; origins: [B, 2] (x, y); mv_int: [B, 2].
+    cur_blocks: [B, s, s] (or [B, s, size_w] for rectangular PUs);
+    origins: [B, 2] (x, y); mv_int: [B, 2].
     Returns (mv_q [B, 2] int32, best_sad [B]).
     """
     B = cur_blocks.shape[0]
+    size_h = size
+    size_w = size if size_w is None else size_w
     if ref_idx is not None:
         _, h, w = ref_plane.shape
     else:
         h, w = ref_plane.shape
     lead, border = 4, 9    # extra margin for -3/4 shifts
-    ext = size + border
+    ext_h = size_h + border
+    ext_w = size_w + border
     base_x = origins[:, 0:1, None] + mv_int[:, 0:1, None] - lead
     base_y = origins[:, 1:2, None] + mv_int[:, 1:2, None] - lead
-    ys = jnp.clip(base_y + jnp.arange(ext)[None, :, None], 0, h - 1)
-    xs = jnp.clip(base_x + jnp.arange(ext)[None, None, :], 0, w - 1)
+    ys = jnp.clip(base_y + jnp.arange(ext_h)[None, :, None], 0, h - 1)
+    xs = jnp.clip(base_x + jnp.arange(ext_w)[None, None, :], 0, w - 1)
     idx = ys * w + xs
     if ref_idx is not None:
         idx = idx + (ref_idx.astype(jnp.int32) * (h * w))[:, None, None]
     win = jnp.take(ref_plane.reshape(-1), idx, axis=0
-                   ).astype(jnp.int32)  # [B, ext, ext]
+                   ).astype(jnp.int32)  # [B, ext_h, ext_w]
     cur = cur_blocks.astype(jnp.int32)
 
     cands = []
@@ -229,8 +240,8 @@ def quarter_refine_blocks(cur_blocks, ref_plane, origins, mv_int,
         for qdx in range(-3, 4):
             iy, fy = (qdy >> 2) + 1, qdy & 3   # +1 re-centers the window
             ix, fx = (qdx >> 2) + 1, qdx & 3
-            sub = win[:, iy:iy + size + 7, ix:ix + size + 7]
-            pred = mc_luma(sub, fx, fy, size, size)
+            sub = win[:, iy:iy + size_h + 7, ix:ix + size_w + 7]
+            pred = mc_luma(sub, fx, fy, size_h, size_w)
             sad = jnp.abs(pred - cur).sum((1, 2))
             cands.append((qdx, qdy, sad))
     sads = jnp.stack([c[2] for c in cands], 0)         # [49, B]

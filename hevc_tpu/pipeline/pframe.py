@@ -137,7 +137,7 @@ class LDPEncoder:
     def __init__(self, cfg, cnn_params=None, lstm_params=None,
                  thresholds=None, tree: str = "full",
                  use_gop_qp: bool = True, slice_mode: str = "P",
-                 max_depth_exit: bool = False):
+                 max_depth_exit: bool = False, rect_pu: bool = True):
         if cfg.pad_width % 64 or cfg.pad_height % 64:
             # LDP codes whole CTUs only; pad to 64-multiples and crop via
             # the SPS conformance window (reference 416x240 cfg works).
@@ -146,6 +146,7 @@ class LDPEncoder:
         assert slice_mode in ("P", "B")
         self.cfg = cfg
         self.tree = tree
+        self.rect_pu = rect_pu
         self.use_gop_qp = use_gop_qp
         self.slice_mode = slice_mode  # "B" = low-delay B operating point
         # frame-level max-depth program narrowing from the HCPM gates
@@ -179,7 +180,7 @@ class LDPEncoder:
                    else None)
             kw = dict(qp=frame_qp, pad_w=cfg.pad_width,
                       pad_h=cfg.pad_height, use_rdoq=cfg.rdoq,
-                      max_depth=max_depth)
+                      max_depth=max_depth, rect_pu=self.rect_pu)
             if thr is not None:
                 kw.update(thr_up=thr.up, thr_down=thr.down)
             if self.tree == "flat":
@@ -292,6 +293,10 @@ class LDPEncoder:
                     res.intra8, W // 8, H // 8, 8).astype(bool)
                 imode8 = ldp_mod.tiles_to_plane(
                     res.imode8, W // 8, H // 8, 8).astype(np.int32)
+                part8 = ldp_mod.tiles_to_plane(
+                    res.part8, W // 8, H // 8, 8).astype(np.int32)
+                if not part8.any():
+                    part8 = None
                 if intra8.any():
                     # normative re-code of intra CUs from reconstructed
                     # neighbours, patching recon + coef planes in z-order
@@ -319,7 +324,7 @@ class LDPEncoder:
                         from ..ops import deblock as dbk
                         yy, cb_, cr_ = dbk.deblock_frame_inter(
                             yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp,
-                            ref8=ref8, intra8=intra8)
+                            ref8=ref8, intra8=intra8, part8=part8)
                     if cfg.sao:
                         from ..ops import sao as sao_lib
                         sao_params = sao_lib.estimate_frame(
@@ -337,7 +342,7 @@ class LDPEncoder:
                 chunks.append(self._p_slice_nal(
                     bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
                     sao_params, ref8=ref8, n_refs=n_act, poc=poc,
-                    intra8=intra8, imode8=imode8))
+                    intra8=intra8, imode8=imode8, part8=part8))
             if rate_control:
                 rate_control.post_frame(
                     8 * sum(len(c) for c in chunks[n_chunks0:]))
@@ -353,9 +358,10 @@ class LDPEncoder:
 
     def _p_slice_nal(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                      frame_qp, sao_params=None, ref8=None, n_refs=1,
-                     poc=1, intra8=None, imode8=None):
+                     poc=1, intra8=None, imode8=None, part8=None):
         """P slice data: native C++ CABAC (SAO + multi-ref + intra-in-P
-        capable), Python PSliceEncoder fallback — byte-identical paths."""
+        + rect-PU capable), Python PSliceEncoder fallback —
+        byte-identical paths (tests/test_native_entropy.py)."""
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
         cfg = self.cfg
@@ -364,20 +370,21 @@ class LDPEncoder:
             data = native.encode_slice_data_p(
                 depth8, mvq8, coef_y, coef_cb, coef_cr,
                 cfg.pad_width, cfg.pad_height, frame_qp,
-                is_b=self.slice_mode == "B", ref8=ref8, n_refs=n_refs,
-                poc=poc, sao=sao_params, intra8=intra8, imode8=imode8)
+                is_b=self.slice_mode == "B", ref8=ref8,
+                n_refs=n_refs, poc=poc, sao=sao_params,
+                intra8=intra8, imode8=imode8, part8=part8)
             from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
             return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
         except Exception:
             import logging
             logging.getLogger(__name__).warning(
-                "native P entropy failed; falling back to Python CABAC",
-                exc_info=True)
+                "native P entropy failed; falling back to Python "
+                "CABAC", exc_info=True)
         pse = PSliceEncoder(cfg, frame_qp, slice_type=self.slice_mode,
                             n_refs=n_refs, poc=poc)
         pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                    sao=sao_params, ref8=ref8, intra8=intra8,
-                   imode8=imode8)
+                   imode8=imode8, part8=part8)
         return headers.finish_p_slice_nal(bw)
 
     def _encode_flat(self, pf, prev, poc, frame_qp):

@@ -49,6 +49,8 @@ class PSearchResult(NamedTuple):
     rec_cr: jax.Array    # [B, 32, 32] uint8
     intra8: jax.Array    # [B, 8, 8] bool: CU coded intra (intra-in-P)
     imode8: jax.Array    # [B, 8, 8] int32 intra luma mode (where intra8)
+    part8: jax.Array     # [B, 8, 8] int32 PU partition of the CU
+    #                      (0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N)
 
 
 def _node_blocks(tiles, depth: int):
@@ -159,7 +161,8 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                    thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
                    radius: int = 8, use_rdoq: bool = True,
                    n_active_refs: int = 1, max_depth: int = 3,
-                   merge_rd: bool = True, intra_in_p: bool = True):
+                   merge_rd: bool = True, intra_in_p: bool = True,
+                   rect_pu: bool = True):
     """Full quadtree inter search + coding of one P frame (jittable).
 
     cur_*: planes. ref_*: reference plane stacks [R, H, W] (RefPicList0
@@ -240,6 +243,9 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     ref_maps = {}
     intra_maps = {}
     imode_maps = {}
+    part_maps = {}       # 0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N
+    mv2_maps = {}        # second PU's motion (valid where part != 0)
+    ref2_maps = {}
     cost_maps = {}
     lvl_y_d, rr_y_d = {}, {}
     lvl_cb_d, rr_cb_d = {}, {}
@@ -259,6 +265,9 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             ref_maps[d] = jnp.zeros((B, n, n), jnp.int32)
             intra_maps[d] = jnp.zeros((B, n, n), bool)
             imode_maps[d] = jnp.ones((B, n, n), jnp.int32)
+            part_maps[d] = jnp.zeros((B, n, n), jnp.int32)
+            mv2_maps[d] = jnp.zeros((B, n, n, 2), jnp.int32)
+            ref2_maps[d] = jnp.zeros((B, n, n), jnp.int32)
             cost_maps[d] = jnp.full((B, nd), jnp.float32(3.4e38))
             sl = 64 // n
             cl = 32 // n
@@ -430,6 +439,146 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             rr_cr_d[d] = pick(rr_cr, rr_mcr, zc, 3)
             pred_cr_d[d] = pick(pred_cr, pm_cr, pm_cr, 3)
 
+        part_maps[d] = jnp.zeros((B, n, n), jnp.int32)
+        mv2_maps[d] = mv_maps[d]
+        ref2_maps[d] = ref_maps[d]
+        if rect_pu and d <= 2 and d <= max_depth:
+            # --- rectangular PUs (2NxN / Nx2N): HM predInterSearch
+            # evaluates every partition per CU (TEncSearch.cpp:2912,
+            # TEncCu.cpp:1399 xCheckRDCostInter SIZE_2NxN/SIZE_Nx2N).
+            # TPU formulation: the shared SAD field is additive, so each
+            # half's exact integer SAD pools from the depth+1 grid; the
+            # halves then get their own ref choice, quarter-pel
+            # refinement, and rectangular MC, and the CU codes the
+            # assembled two-PU prediction with the inferred TU split
+            # (max_transform_hierarchy_depth_inter == 0 => interSplitFlag,
+            # 7.4.9.8: TU = s/2 for 16/32 CUs).
+            sub = sad_by_depth[d + 1].reshape(
+                R, n_side * n_side, B, n, 2, n, 2)
+            halves_by_part = {
+                1: (sub[:, :, :, :, 0].sum(-1),        # top (sum x-sub)
+                    sub[:, :, :, :, 1].sum(-1)),       # bottom
+                2: (sub[:, :, :, :, :, :, 0].sum(4),   # left (sum y-sub)
+                    sub[:, :, :, :, :, :, 1].sum(4)),  # right
+            }
+            tu_r = 32 if s == 64 else s // 2
+            ctu_r = tu_r // 2
+            rect = {}
+            for part, halves in halves_by_part.items():
+                hh = s // 2 if part == 1 else s
+                ww = s if part == 1 else s // 2
+                offs = [(0, 0), (0, s // 2) if part == 1 else (s // 2, 0)]
+                pu = []
+                for k in (0, 1):
+                    sads_h = halves[k].reshape(R, n_side * n_side, B * nd)
+                    best_h = jnp.argmin(sads_h, axis=1)
+                    sad_b = jnp.min(sads_h, axis=1).astype(jnp.float32)
+                    mv_i_r = jnp.stack([best_h % n_side - radius,
+                                        best_h // n_side - radius],
+                                       -1).astype(jnp.int32)
+                    mv_rate_h = (2.0 * jnp.log2(
+                        jnp.abs(mv_i_r).sum(-1) + 1.0) + 1.0)
+                    rc = sad_b + sqrt_lam * (ref_bits_tab[:, None]
+                                             + mv_rate_h)
+                    rc = jnp.where((ref_ids < n_act)[:, None], rc,
+                                   jnp.float32(3.4e38))
+                    rsel = jnp.argmin(rc, axis=0).astype(jnp.int32)
+                    mv_i = jnp.take_along_axis(
+                        mv_i_r, rsel[None, :, None], axis=0)[0]
+                    dx, dy = offs[k]
+                    org_h = node_org + jnp.asarray([dx, dy], jnp.int32)
+                    cur_h = cur_blocks[:, dy:dy + hh, dx:dx + ww]
+                    mv_qh, _ = inter.quarter_refine_blocks(
+                        cur_h, ref_y, org_h, mv_i, hh, ref_idx=rsel,
+                        size_w=ww)
+                    p_h = inter.predict_inter_blocks(
+                        ref_y, org_h, mv_qh, hh, is_luma=True,
+                        ref_idx=rsel, size_w=ww)
+                    corg_h = corg + jnp.asarray([dx // 2, dy // 2],
+                                                jnp.int32)
+                    pcb_h = inter.predict_inter_blocks(
+                        ref_cb, corg_h, mv_qh, hh // 2, is_luma=False,
+                        ref_idx=rsel, size_w=ww // 2)
+                    pcr_h = inter.predict_inter_blocks(
+                        ref_cr, corg_h, mv_qh, hh // 2, is_luma=False,
+                        ref_idx=rsel, size_w=ww // 2)
+                    pu.append((mv_qh, rsel, p_h, pcb_h, pcr_h, mv_i))
+                axis = 1 if part == 1 else 2
+                pr_y = jnp.concatenate([pu[0][2], pu[1][2]], axis)
+                pr_cb = jnp.concatenate([pu[0][3], pu[1][3]], axis)
+                pr_cr = jnp.concatenate([pu[0][4], pu[1][4]], axis)
+                lvl_r, rr_r, rb_y = _tu_transform(
+                    cur_blocks.astype(jnp.int32) - pr_y, qp, tu_r, lam,
+                    use_rdoq)
+                lvl_rcb, rr_rcb, rb_cb = _tu_transform(
+                    _node_blocks(cur_cb_t, d).astype(jnp.int32) - pr_cb,
+                    cqp, ctu_r, lam, use_rdoq, is_luma=False)
+                lvl_rcr, rr_rcr, rb_cr = _tu_transform(
+                    _node_blocks(cur_cr_t, d).astype(jnp.int32) - pr_cr,
+                    cqp, ctu_r, lam, use_rdoq, is_luma=False)
+                rec_r = jnp.clip(pr_y + rr_r, 0, 255)
+                dr_ = (rec_r - cur_blocks).astype(jnp.float32)
+                sse_r = (dr_ * dr_).sum((-2, -1))
+                rcbq = jnp.clip(pr_cb + rr_rcb, 0, 255)
+                rcrq = jnp.clip(pr_cr + rr_rcr, 0, 255)
+                dcb_ = (rcbq - _node_blocks(cur_cb_t, d)
+                        ).astype(jnp.float32)
+                dcr_ = (rcrq - _node_blocks(cur_cr_t, d)
+                        ).astype(jnp.float32)
+                sse_r = sse_r + (dcb_ * dcb_).sum((-2, -1)) \
+                    + (dcr_ * dcr_).sum((-2, -1))
+                # rate: coefs + both PUs' MVD/ref + part bins (2) + flags
+                mvb = (_mvd_bits(pu[0][0], pred_mv)
+                       + _mvd_bits(pu[1][0], pred_mv))
+                rbits = (rb_y + rb_cb + rb_cr + mvb + 10.0
+                         + ref_bits_tab[pu[0][1]]
+                         + ref_bits_tab[pu[1][1]])
+                rect[part] = (sse_r + lam * rbits, pu, pr_y, pr_cb,
+                              pr_cr, lvl_r, rr_r, lvl_rcb, rr_rcb,
+                              lvl_rcr, rr_rcr)
+
+            pick_2 = rect[2][0] < rect[1][0]
+            best_part = jnp.where(pick_2, 2, 1).astype(jnp.int32)
+
+            def rsel_(i, ndim):
+                a, b = rect[1][i], rect[2][i]
+                c = pick_2.reshape((-1,) + (1,) * (ndim - 1))
+                return jnp.where(c, b, a)
+
+            rcost = jnp.minimum(rect[1][0], rect[2][0])
+            use_rect = rcost < amvp_cost
+            amvp_cost = jnp.minimum(rcost, amvp_cost)
+
+            def pickr(orig, rect_v, ndim):
+                c = use_rect.reshape((-1,) + (1,) * (ndim - 1))
+                return jnp.where(c, rect_v, orig)
+
+            # PU motion per partition
+            mv0 = jnp.where(pick_2[:, None], rect[2][1][0][0],
+                            rect[1][1][0][0])
+            rf0 = jnp.where(pick_2, rect[2][1][0][1], rect[1][1][0][1])
+            mv1 = jnp.where(pick_2[:, None], rect[2][1][1][0],
+                            rect[1][1][1][0])
+            rf1 = jnp.where(pick_2, rect[2][1][1][1], rect[1][1][1][1])
+
+            mv_q = pickr(mv_q, mv0, 2)
+            ref_sel = pickr(ref_sel, rf0, 1)
+            mv_maps[d] = mv_q.reshape(B, n, n, 2)
+            ref_maps[d] = ref_sel.reshape(B, n, n)
+            part_maps[d] = pickr(jnp.zeros((B * nd,), jnp.int32),
+                                 best_part, 1).reshape(B, n, n)
+            mv2_maps[d] = pickr(mv_q, mv1, 2).reshape(B, n, n, 2)
+            ref2_maps[d] = pickr(ref_sel, rf1, 1).reshape(B, n, n)
+            lvl_y_d[d] = pickr(lvl_y_d[d], rsel_(5, 3), 3)
+            rr_y_d[d] = pickr(rr_y_d[d], rsel_(6, 3), 3)
+            pred_y_d[d] = pickr(pred_y_d[d], rsel_(2, 3), 3)
+            lvl_cb_d[d] = pickr(lvl_cb_d[d], rsel_(7, 3), 3)
+            rr_cb_d[d] = pickr(rr_cb_d[d], rsel_(8, 3), 3)
+            pred_cb_d[d] = pickr(pred_cb_d[d], rsel_(3, 3), 3)
+            lvl_cr_d[d] = pickr(lvl_cr_d[d], rsel_(9, 3), 3)
+            rr_cr_d[d] = pickr(rr_cr_d[d], rsel_(10, 3), 3)
+            pred_cr_d[d] = pickr(pred_cr_d[d], rsel_(4, 3), 3)
+
         if intra_in_p:
             # --- intra escape inside P frames (TEncCu.cpp:1438 /
             # HM-16.5_Test_LDP TEncCu.cpp:746-803): the AI search's
@@ -461,6 +610,8 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                    0, mv_maps[d])
             ref_maps[d] = jnp.where(is_intra.reshape(B, n, n), 0,
                                     ref_maps[d])
+            part_maps[d] = jnp.where(is_intra.reshape(B, n, n), 0,
+                                     part_maps[d])
         else:
             intra_maps[d] = jnp.zeros((B, n, n), bool)
             imode_maps[d] = jnp.ones((B, n, n), jnp.int32)
@@ -493,17 +644,37 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     rec_cb = jnp.clip(pcb + rr_cb, 0, 255).astype(jnp.uint8)
     rec_cr = jnp.clip(pcr + rr_cr, 0, 255).astype(jnp.uint8)
 
-    mv_stack = jnp.stack([
-        jnp.repeat(jnp.repeat(mv_maps[d], 8 >> d, 1), 8 >> d, 2)
-        for d in range(4)], -2)                         # [B, 8, 8, 4, 2]
+    def unit_mv_maps(d):
+        """Full-res per-8x8 (mv, ref) at depth d, PU-aware: units in the
+        second PU of a 2NxN (bottom) / Nx2N (right) CU take mv2."""
+        u = 8 >> d
+        mv_f = jnp.repeat(jnp.repeat(mv_maps[d], u, 1), u, 2)
+        rf_f = jnp.repeat(jnp.repeat(ref_maps[d], u, 1), u, 2)
+        if u > 1:
+            mv2_f = jnp.repeat(jnp.repeat(mv2_maps[d], u, 1), u, 2)
+            rf2_f = jnp.repeat(jnp.repeat(ref2_maps[d], u, 1), u, 2)
+            pt_f = jnp.repeat(jnp.repeat(part_maps[d], u, 1), u, 2)
+            uy = jnp.arange(8)[None, :, None] % u
+            ux = jnp.arange(8)[None, None, :] % u
+            in_pu1 = ((pt_f == 1) & (uy >= u // 2)) \
+                | ((pt_f == 2) & (ux >= u // 2))
+            mv_f = jnp.where(in_pu1[..., None], mv2_f, mv_f)
+            rf_f = jnp.where(in_pu1, rf2_f, rf_f)
+        return mv_f, rf_f
+
+    per_d = [unit_mv_maps(d) for d in range(4)]
+    mv_stack = jnp.stack([m for (m, _) in per_d], -2)   # [B, 8, 8, 4, 2]
     mv8 = jnp.take_along_axis(
         mv_stack, depth8[..., None, None].astype(jnp.int32),
         axis=-2)[..., 0, :]
-    ref_stack = jnp.stack([
-        jnp.repeat(jnp.repeat(ref_maps[d], 8 >> d, 1), 8 >> d, 2)
-        for d in range(4)], -1)                         # [B, 8, 8, 4]
+    ref_stack = jnp.stack([r for (_, r) in per_d], -1)  # [B, 8, 8, 4]
     ref8 = jnp.take_along_axis(
         ref_stack, depth8[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    part_stack = jnp.stack([
+        jnp.repeat(jnp.repeat(part_maps[d], 8 >> d, 1), 8 >> d, 2)
+        for d in range(4)], -1)
+    part8 = jnp.take_along_axis(
+        part_stack, depth8[..., None].astype(jnp.int32), axis=-1)[..., 0]
     intra_stack = jnp.stack([
         jnp.repeat(jnp.repeat(intra_maps[d], 8 >> d, 1), 8 >> d, 2)
         for d in range(4)], -1)
@@ -520,4 +691,4 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                          coef_cb=coef_cb.astype(jnp.int16),
                          coef_cr=coef_cr.astype(jnp.int16),
                          rec_y=rec_y, rec_cb=rec_cb, rec_cr=rec_cr,
-                         intra8=intra8, imode8=imode8)
+                         intra8=intra8, imode8=imode8, part8=part8)

@@ -295,3 +295,86 @@ def test_native_p_slice_intra_in_p_matches_python():
         ref8=ref8, n_refs=n_refs, poc=poc, sao=sao,
         intra8=intra8, imode8=imode8)
     assert c_bytes == py_bytes
+
+
+def test_native_rect_pu_matches_python():
+    """Rect-PU (2NxN/Nx2N) P/B slices: native == Python byte-for-byte
+    across partition mixes, depths 0-2, multi-ref, per-PU merge/AMVP."""
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+
+    def synth_maps(seed, W, H, n_refs):
+        rng = np.random.RandomState(seed)
+        H8, W8 = H // 8, W // 8
+        depth8 = np.zeros((H8, W8), np.int32)
+        part8 = np.zeros((H8, W8), np.int32)
+        mvq8 = np.zeros((H8, W8, 2), np.int32)
+        ref8 = np.zeros((H8, W8), np.int32)
+        for cy in range(H // 64):
+            for cx in range(W // 64):
+                if rng.randint(0, 2) == 0:
+                    s8 = slice(cy * 8, cy * 8 + 8), slice(cx * 8, cx * 8 + 8)
+                    depth8[s8] = 0
+                    part8[s8] = rng.randint(0, 3)
+                else:
+                    for qy in range(2):
+                        for qx in range(2):
+                            d1 = rng.randint(1, 3)
+                            s8 = (slice(cy * 8 + qy * 4, cy * 8 + qy * 4 + 4),
+                                  slice(cx * 8 + qx * 4, cx * 8 + qx * 4 + 4))
+                            depth8[s8] = d1
+                            part8[s8] = rng.randint(0, 3)
+
+        def walk(x0, y0, size, depth):
+            d = depth8[y0 >> 3, x0 >> 3]
+            if d > depth:
+                h = size >> 1
+                for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):
+                    walk(x0 + dx, y0 + dy, h, depth + 1)
+                return
+            part = part8[y0 >> 3, x0 >> 3]
+
+            def setpu(xs, ys, ws, hs):
+                mv = rng.randint(-16, 17, 2)
+                mvq8[ys >> 3:(ys + hs) >> 3, xs >> 3:(xs + ws) >> 3] = mv
+                ref8[ys >> 3:(ys + hs) >> 3,
+                     xs >> 3:(xs + ws) >> 3] = rng.randint(0, n_refs)
+
+            if part == 0 or size == 8:
+                part8[y0 >> 3:(y0 + size) >> 3,
+                      x0 >> 3:(x0 + size) >> 3] = 0
+                setpu(x0, y0, size, size)
+            elif part == 1:
+                setpu(x0, y0, size, size // 2)
+                setpu(x0, y0 + size // 2, size, size // 2)
+            else:
+                setpu(x0, y0, size // 2, size)
+                setpu(x0 + size // 2, y0, size // 2, size)
+
+        for cy in range(H // 64):
+            for cx in range(W // 64):
+                walk(cx * 64, cy * 64, 64, 0)
+        cy_ = ((rng.randint(0, 12, (H, W)) == 0)
+               * rng.randint(-3, 4, (H, W))).astype(np.int32)
+        cb_ = ((rng.randint(0, 16, (H // 2, W // 2)) == 0)
+               * rng.randint(-2, 3, (H // 2, W // 2))).astype(np.int32)
+        cr_ = ((rng.randint(0, 16, (H // 2, W // 2)) == 0)
+               * rng.randint(-2, 3, (H // 2, W // 2))).astype(np.int32)
+        return depth8, part8, mvq8, ref8, cy_, cb_, cr_
+
+    W = H = 128
+    for seed, is_b, n_refs in ((1, False, 1), (2, False, 4),
+                               (3, True, 2)):
+        d8, p8, mv, r8, cy_, cb_, cr_ = synth_maps(seed, W, H, n_refs)
+        cfg = headers.EncoderConfig(width=W, height=H, qp=30,
+                                    num_refs=n_refs)
+        bw = (headers.start_b_slice(cfg, 30, 3, n_refs) if is_b
+              else headers.start_p_slice(cfg, 30, 3, n_refs))
+        hlen = len(bw.get_bytes())
+        pse = PSliceEncoder(cfg, 30, slice_type="B" if is_b else "P",
+                            n_refs=n_refs, poc=3)
+        pse.encode(bw, d8, mv, cy_, cb_, cr_, ref8=r8, part8=p8)
+        py = bw.get_bytes()[hlen:]
+        cb2 = native.encode_slice_data_p(
+            d8, mv, cy_, cb_, cr_, W, H, 30, is_b=is_b, ref8=r8,
+            n_refs=n_refs, poc=3, part8=p8)
+        assert cb2 == py, (seed, is_b, n_refs, len(cb2), len(py))
