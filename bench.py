@@ -83,6 +83,9 @@ def main():
         from hevc_tpu.pipeline import bench_hooks
         result = bench_hooks.bench_encode_1080p()
     except BaseException:
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)  # keep the primary cause
         result = None
     finally:
         signal.alarm(0)

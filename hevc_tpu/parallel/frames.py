@@ -33,11 +33,20 @@ class FrameParallelAI:
     def __init__(self, cfg: headers.EncoderConfig, mesh,
                  cnn_params=None,
                  thresholds: Optional[hcpm.Thresholds] = None,
-                 recon_backend: str = "ctu"):
+                 recon_backend: str = "ctu",
+                 decide_chunk: int = 0):
+        """decide_chunk > 0 splits the decide stage (CNN + mode/partition
+        search) into sub-batches of that many frames while the recon
+        wavefront still runs over the full frame batch: decide is
+        compute/HBM-bound (the 35-mode SATD intermediates scale with F),
+        recon is dominated by a fixed sequential-dispatch cost (~4.3 s
+        per launch measured at 1080p) that only amortizes with large F —
+        so the two stages want different batch sizes."""
         self.cfg = cfg
         self.mesh = mesh
         self.cnn_params = cnn_params
         self.recon_backend = recon_backend
+        self.decide_chunk = decide_chunk
         self.thr = thresholds or hcpm.DEFAULT_AI
         self._origins = jnp.asarray(
             search.ctu_grid(cfg.pad_width, cfg.pad_height))
@@ -66,8 +75,8 @@ class FrameParallelAI:
                 y, cb, cr, d8, m4, nxn, qp=cfg.qp, pad_w=cfg.pad_width,
                 pad_h=cfg.pad_height, rdoq=cfg.rdoq)
 
-        def full(ys, cbs, crs, params):
-            # [F, H, W] batched over frames
+        def decide_stage(ys, cbs, crs, params):
+            # [F, H, W] batched over frames -> frame-level decision maps
             if params is not None:
                 F = ys.shape[0]
                 H64, W64 = cfg.ctus_y * 64, cfg.ctus_x * 64
@@ -99,11 +108,15 @@ class FrameParallelAI:
                     lambda y, cb, cr: decide_one(y, cb, cr, None))(
                     ys, cbs, crs)
 
-            d = assemble(d8s, 8)
-            m = assemble(m8s, 8)
-            m4 = assemble(m4s, 16)
-            nxn = assemble(nxns, 8)
-            planes = jax.vmap(recon_one)(ys, cbs, crs, d, m4, nxn)
+            return (assemble(d8s, 8), assemble(m8s, 8),
+                    assemble(m4s, 16), assemble(nxns, 8))
+
+        def recon_stage(ys, cbs, crs, d, m4, nxn):
+            return jax.vmap(recon_one)(ys, cbs, crs, d, m4, nxn)
+
+        def full(ys, cbs, crs, params):
+            d, m, m4, nxn = decide_stage(ys, cbs, crs, params)
+            planes = recon_stage(ys, cbs, crs, d, m4, nxn)
             return d, m, m4, nxn, planes
 
         def decide_only(ys, cbs, crs, params):
@@ -148,12 +161,36 @@ class FrameParallelAI:
             return d, m
 
         self._full = jax.jit(full)
+        self._decide_stage = jax.jit(decide_stage)
+        self._recon_stage = jax.jit(recon_stage)
         self._decide = jax.jit(decide_only)
         self._recon_tu_cache = {}
 
-    def encode_batch(self, frames):
+    def _run_full(self, ys, cbs, crs, params):
+        """Full pipeline with optionally sub-batched decide (see
+        __init__.decide_chunk)."""
+        dc = self.decide_chunk
+        F = ys.shape[0]
+        if dc <= 0 or F <= dc:
+            return self._full(ys, cbs, crs, params)
+        assert F % dc == 0, (F, dc)
+        outs = [self._decide_stage(ys[i:i + dc], cbs[i:i + dc],
+                                   crs[i:i + dc], params)
+                for i in range(0, F, dc)]
+        d, m, m4, nxn = (jnp.concatenate([o[k] for o in outs])
+                         for k in range(4))
+        planes = self._recon_stage(ys, cbs, crs, d, m4, nxn)
+        return d, m, m4, nxn, planes
+
+    def encode_batch(self, frames, need_recon=True):
         """Encode a batch of frames (ideally a multiple of the data-axis
-        size). Returns (chunks, recons, decide+recon seconds)."""
+        size). Returns (chunks, recons, decide+recon seconds).
+
+        need_recon=False skips the reconstruction-plane D2H transfer
+        (recons come back as None): the wavefront still computes recon on
+        device (it IS the carry), but the host only needs it for the
+        picture-hash SEI, and over the tunneled TPU link the transfer is
+        ~3 MB/frame at ~25 MB/s — pure waste when no hash is requested."""
         cfg = self.cfg
         pfs = [pad_frame(f, cfg.pad_width, cfg.pad_height) for f in frames]
         # uint8 upload (4x smaller than int32); device code casts locally
@@ -171,7 +208,7 @@ class FrameParallelAI:
         if self.recon_backend == "tu":
             d, m, m4, nxn, planes = self._run_tu(ys, cbs, crs, params)
         else:
-            d, m, m4, nxn, planes = self._full(ys, cbs, crs, params)
+            d, m, m4, nxn, planes = self._run_full(ys, cbs, crs, params)
         jax.block_until_ready(planes)
         t1 = time.perf_counter()
 
@@ -185,16 +222,18 @@ class FrameParallelAI:
         coef_y = np.asarray(planes.coef_y)
         coef_cb = np.asarray(planes.coef_cb)
         coef_cr = np.asarray(planes.coef_cr)
-        rec_y = np.asarray(planes.recon_y)
-        rec_cb = np.asarray(planes.recon_cb)
-        rec_cr = np.asarray(planes.recon_cr)
+        if need_recon:
+            rec_y = np.asarray(planes.recon_y)
+            rec_cb = np.asarray(planes.recon_cb)
+            rec_cr = np.asarray(planes.recon_cr)
         t2 = time.perf_counter()
         for i in range(len(frames)):
             decisions = dict(depth8=d[i], modes8=m[i], modes4=m4[i],
                              nxn8=nxn[i], coef_y=coef_y[i],
                              coef_cb=coef_cb[i], coef_cr=coef_cr[i])
             chunks.append(self._entropy(decisions))
-            recons.append(Frame(rec_y[i], rec_cb[i], rec_cr[i]))
+            recons.append(Frame(rec_y[i], rec_cb[i], rec_cr[i])
+                          if need_recon else None)
         t3 = time.perf_counter()
         self.last_stats = {"device_s": t1 - t0, "transfer_s": t2 - t1,
                            "entropy_s": t3 - t2}
@@ -251,7 +290,8 @@ class FrameParallelAI:
         out = [headers.write_vps(cfg), headers.write_sps(cfg),
                headers.write_pps(cfg)]
         if chunk <= 0 or chunk >= len(frames):
-            chunks, recons, device_s = self.encode_batch(frames)
+            chunks, recons, device_s = self.encode_batch(
+                frames, need_recon=with_hash_sei)
             stats = dict(self.last_stats)
         else:
             import collections
@@ -271,7 +311,7 @@ class FrameParallelAI:
                         g = groups[gi]
                         launched = self._launch(g)
                         pending.append(pool.submit(self._drain, launched,
-                                                   len(g)))
+                                                   len(g), with_hash_sei))
                         gi += 1
                     ch, rc, st = pending.popleft().result()
                     chunks.extend(ch)
@@ -300,10 +340,10 @@ class FrameParallelAI:
         if self.recon_backend == "tu":
             out = self._run_tu(ys, cbs, crs, params)
         else:
-            out = self._full(ys, cbs, crs, params)
+            out = self._run_full(ys, cbs, crs, params)
         return out + (t0,)
 
-    def _drain(self, launched, n_frames):
+    def _drain(self, launched, n_frames, need_recon=True):
         """Transfer one group's results and pack its slices (host)."""
         from ..core.yuv import Frame
         d, m, m4, nxn, planes, t0 = launched
@@ -316,9 +356,10 @@ class FrameParallelAI:
         coef_y = np.asarray(planes.coef_y)
         coef_cb = np.asarray(planes.coef_cb)
         coef_cr = np.asarray(planes.coef_cr)
-        rec_y = np.asarray(planes.recon_y)
-        rec_cb = np.asarray(planes.recon_cb)
-        rec_cr = np.asarray(planes.recon_cr)
+        if need_recon:
+            rec_y = np.asarray(planes.recon_y)
+            rec_cb = np.asarray(planes.recon_cb)
+            rec_cr = np.asarray(planes.recon_cr)
         t2 = time.perf_counter()
         chunks, recons = [], []
         for i in range(n_frames):
@@ -326,7 +367,8 @@ class FrameParallelAI:
                              nxn8=nxn[i], coef_y=coef_y[i],
                              coef_cb=coef_cb[i], coef_cr=coef_cr[i])
             chunks.append(self._entropy(decisions))
-            recons.append(Frame(rec_y[i], rec_cb[i], rec_cr[i]))
+            recons.append(Frame(rec_y[i], rec_cb[i], rec_cr[i])
+                          if need_recon else None)
         t3 = time.perf_counter()
         return chunks, recons, {"device_s": t1 - t0,
                                 "transfer_s": t2 - t1,

@@ -109,15 +109,18 @@ def measure_hm_baseline(n_frames=2, force=False, timeout=3600):
     return result
 
 
-def bench_encode_1080p(n_frames=8):
+def bench_encode_1080p(n_frames=48, chunk=24, decide_chunk=4):
     """Full-pipeline AI 1080p benchmark; returns the bench.py JSON dict.
 
     Uses the frame-batched (vmapped) pipeline: AI frames are independent,
     so batching them over the wavefront scan multiplies lane utilization
-    (the same program shards frames over multi-chip meshes). Warmup
-    encodes ONE chunk at the same batch shape as the measured run (one
-    compile, minimal warm device time); vs_baseline reads the committed
-    HM measurement only (tools/hm_baseline.json) and never encodes HM."""
+    (the same program shards frames over multi-chip meshes). The recon
+    wavefront carries a large fixed sequential-dispatch cost per launch,
+    so it runs at big frame batches (chunk), while the decide stage
+    (whose 35-mode intermediates scale with F) is sub-batched at
+    decide_chunk inside each chunk. Warmup encodes ONE chunk at the same
+    batch shape as the measured run; vs_baseline reads the committed HM
+    measurement only (tools/hm_baseline.json) and never encodes HM."""
     import jax
     from ..entropy import headers
     from ..models import eth_cnn
@@ -133,9 +136,9 @@ def bench_encode_1080p(n_frames=8):
     if params is None:
         params = eth_cnn.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(1, model_axis=1)
-    enc = pframes.FrameParallelAI(cfg, mesh, cnn_params=params)
+    enc = pframes.FrameParallelAI(cfg, mesh, cnn_params=params,
+                                  decide_chunk=decide_chunk)
 
-    chunk = max(1, n_frames // 2)  # overlap device compute w/ host CABAC
     frames = synth_1080p_structured(n_frames)
     enc.encode(frames[:chunk], with_hash_sei=False)  # compile (1 chunk)
 
