@@ -89,9 +89,23 @@ def test_pre_encode_translation():
     assert tuple(mv[2] // 4) == (3, -2), mv
 
 
+def _shipped_lstm(qp=32):
+    """The SHIPPED ETH-LSTM checkpoint for the QP band (falls back to a
+    random init only if models/ is absent) — the suite exercises the
+    weights we actually ship, not just random parameters."""
+    import os
+    from hevc_tpu.train.train_cnn import band_for_qp, load_params
+    p = os.path.join(os.path.dirname(__file__), "..", "models",
+                     f"eth_lstm_{band_for_qp(qp)}.npz")
+    if os.path.exists(p):
+        return load_params(p)
+    import jax
+    return eth_lstm.init_params(jax.random.PRNGKey(0))
+
+
 def test_ldp_predictor_chain():
     cfg = headers.EncoderConfig(width=128, height=64, qp=32)
-    params = eth_lstm.init_params(jax.random.PRNGKey(0))
+    params = _shipped_lstm(32)
     pipe = ldp.LDPPipeline(cfg, lstm_params=params)
     frames = [synth_frame(128, 64, seed=s) for s in range(3)]
     out = pipe.run(frames)
@@ -233,7 +247,7 @@ def test_ldp_encoder_lstm_gated_e2e(tmp_path):
         y = np.roll(frames[-1].y, (1, 1), axis=(0, 1))
         frames.append(Frame(y, frames[-1].cb, frames[-1].cr))
 
-    params = eth_lstm.init_params(jax.random.PRNGKey(3))
+    params = _shipped_lstm(cfg.qp)
     enc = LDPEncoder(cfg, lstm_params=params)
     stream, recons = enc.encode(frames)
     rc, log, rec_path = hm_mod.decode_bytes(stream, str(tmp_path))
