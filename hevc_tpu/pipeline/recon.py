@@ -62,6 +62,17 @@ import os as _os
 #: every TB chain so XLA fuses across them — slower compile, fast run.
 _INNER_JIT = _os.environ.get("HEVC_TPU_INNER_JIT", "1") == "1"
 
+#: TB sizes <= this are inlined even when _INNER_JIT is on: the 4x4/8x8
+#: calls are ~456 of the 520-call chain, so inlining just the small
+#: classes removes most of the per-call-site dispatch overhead at a
+#: fraction of the full-inline compile cost. Default 0 = classic
+#: behavior (everything shares inner-jitted bodies).
+_INLINE_MAX_N = int(_os.environ.get("HEVC_TPU_INLINE_MAX_N", "0"))
+
+
+def _inline_tu(n: int) -> bool:
+    return (not _INNER_JIT) or n <= _INLINE_MAX_N
+
 
 def _tu_core_impl(r, avail, orig, mode, n, component, qp, rdoq, use_dst):
     """Predict -> transform -> quantize -> reconstruct one TB."""
@@ -91,7 +102,8 @@ _tu_core_jit = functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))(
 
 
 def _tu_core(*args):
-    return (_tu_core_jit if _INNER_JIT else _tu_core_impl)(*args)
+    n = args[4]
+    return (_tu_core_impl if _inline_tu(n) else _tu_core_jit)(*args)
 
 
 def _tu_window_core_impl(win, cwin, orig, mode, leaf, origin,
@@ -124,8 +136,9 @@ _tu_window_core_jit = functools.partial(
 
 
 def _tu_window_core(*args):
-    return (_tu_window_core_jit if _INNER_JIT
-            else _tu_window_core_impl)(*args)
+    n = args[6]
+    return (_tu_window_core_impl if _inline_tu(n)
+            else _tu_window_core_jit)(*args)
 
 
 def _code_tu(ext, coef, orig_tile, x0, y0, n, mode, leaf, qp, *,
