@@ -173,10 +173,22 @@ class FrameParallelAI:
         F = ys.shape[0]
         if dc <= 0 or F <= dc:
             return self._full(ys, cbs, crs, params)
-        assert F % dc == 0, (F, dc)
-        outs = [self._decide_stage(ys[i:i + dc], cbs[i:i + dc],
-                                   crs[i:i + dc], params)
-                for i in range(0, F, dc)]
+        # A ragged tail (F % dc != 0) pads its sub-batch up to dc by
+        # repeating the last frame so the decide stage keeps one compiled
+        # shape; the padded frames' decisions are dropped below.
+        outs = []
+        for i in range(0, F, dc):
+            n = min(dc, F - i)
+            sl = slice(i, i + n)
+            yb, cbb, crb = ys[sl], cbs[sl], crs[sl]
+            if n < dc:
+                def pad(a):
+                    reps = [1] * a.ndim
+                    reps[0] = dc - n
+                    return jnp.concatenate([a, jnp.tile(a[-1:], reps)])
+                yb, cbb, crb = pad(yb), pad(cbb), pad(crb)
+            o = self._decide_stage(yb, cbb, crb, params)
+            outs.append(tuple(x[:n] for x in o) if n < dc else o)
         d, m, m4, nxn = (jnp.concatenate([o[k] for o in outs])
                          for k in range(4))
         planes = self._recon_stage(ys, cbs, crs, d, m4, nxn)

@@ -92,7 +92,6 @@ def main():
         frames = load_split(data_info.AI_TRAIN, args.frames) or None
         vframes = load_split(data_info.AI_VALID, args.valid_frames) or None
         if frames:
-            args.width = args.height = None  # per-frame sizes below
             print(f"natural corpus: {len(frames)} train / "
                   f"{len(vframes or [])} valid frames from {args.yuv_dir}",
                   flush=True)
@@ -101,17 +100,21 @@ def main():
         # valid loss measures generalization, not memorization
         frames = [synth_content_frame(rng, args.width, args.height)
                   for _ in range(args.frames)]
+    else:
+        # natural corpus: adopt the dominant frame size and keep only
+        # frames matching it (mixed-resolution corpora otherwise break
+        # np.stack below); a missing natural valid split falls back to
+        # synthetic frames at that same size.
+        args.height, args.width = frames[0].y.shape
+        frames = [f for f in frames
+                  if f.y.shape == (args.height, args.width)]
+        if vframes is not None:
+            vframes = [f for f in vframes
+                       if f.y.shape == (args.height, args.width)] or None
     if vframes is None:
         vrng = np.random.RandomState(777)
         vframes = [synth_content_frame(vrng, args.width, args.height)
                    for _ in range(args.valid_frames)]
-    if args.width is None:
-        args.width = frames[0].y.shape[1]
-        args.height = frames[0].y.shape[0]
-        frames = [f for f in frames
-                  if f.y.shape == (args.height, args.width)]
-        vframes = [f for f in vframes
-                   if f.y.shape == (args.height, args.width)]
     frames_y = np.stack([f.y for f in frames])
     vframes_y = np.stack([f.y for f in vframes])
 
