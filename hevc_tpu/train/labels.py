@@ -64,6 +64,72 @@ def extract_labels_ldp(frames, qp: int, width: int, height: int):
     return depth4, resi, pocs
 
 
+def parse_info_index(path):
+    """Parse a reference Info_*_Index.dat (text: `POC W H QP [srcpath]`
+    per frame, written by the Extract_Data hook,
+    reference TAppEncCfg.cpp:2316-2334 + TEncSlice.cpp:905-926).
+
+    Returns (pocs [F], width, height, qps [F], src_path or None).
+    AI dumps carry one constant QP; LDP dumps record the per-frame
+    slice QP (base + the GOP-4 offsets of encoder_lowdelay_P_main.cfg),
+    so the QP column is an array."""
+    pocs, widths, heights, qps, src = [], [], [], [], None
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            pocs.append(int(parts[0]))
+            widths.append(int(parts[1]))
+            heights.append(int(parts[2]))
+            qps.append(int(parts[3]))
+            if len(parts) > 4 and src is None:
+                src = parts[4]
+    assert len(set(widths)) == 1 and len(set(heights)) == 1, path
+    return (np.asarray(pocs, np.int32), widths[0], heights[0],
+            np.asarray(qps, np.int32), src)
+
+
+def read_shipped_labels(cu_depth_path, index_path=None):
+    """Read a reference Info_*_CUDepth.dat label dump.
+
+    Layout (reference TEncSlice.cpp:880-905, consumed by
+    Extract_Data/extract_data_AI.py read_info_frame): one uint8 depth
+    (0..3) per fully-inside 16x16 unit, raster order, frames
+    concatenated; unit counts are floor(dim/16) of the min-CU(8)-padded
+    dims. Returns (labels [F, H16, W16] uint8, index tuple or None).
+
+    Works on both the shipped AI_Info/ and LDP_Info/ files and on our
+    own HM-driven dumps (extract_labels_hm uses the same layout).
+    """
+    index = None
+    if index_path is None:
+        cand = cu_depth_path.replace("_CUDepth.dat", "_Index.dat")
+        if os.path.exists(cand):
+            index_path = cand
+    if index_path is not None:
+        index = parse_info_index(index_path)
+        width, height = index[1], index[2]
+    else:
+        import re
+        m = re.search(r"_(\d+)x(\d+)_", os.path.basename(cu_depth_path))
+        if not m:
+            raise ValueError(f"no Index file and no WxH in name: "
+                             f"{cu_depth_path}")
+        width, height = int(m.group(1)), int(m.group(2))
+    pw = -(-width // 8) * 8
+    ph = -(-height // 8) * 8
+    w16, h16 = pw // 16, ph // 16
+    data = np.fromfile(cu_depth_path, np.uint8)
+    per_frame = w16 * h16
+    if data.size % per_frame:
+        raise ValueError(
+            f"{cu_depth_path}: {data.size} bytes not a multiple of "
+            f"{per_frame} ({w16}x{h16} units)")
+    labels = data.reshape(-1, h16, w16)
+    return labels, index
+
+
 def hm_intra_cfg(width, height, qp, n_frames):
     """Minimal HM all-intra config (mirrors encoder_intra_main.cfg's
     operating point: CTU 64, depth 4, TU 4..32, IntraPeriod 1)."""
