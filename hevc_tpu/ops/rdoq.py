@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,13 +57,21 @@ def alpha(n: int, bit_depth: int = 8) -> float:
 
 
 def _level_bits(l):
-    """Approximate coding cost (bits) of an absolute level (jnp)."""
-    lf = l.astype(jnp.float32)
+    """Approximate coding cost (bits) of an absolute level (jnp).
+
+    The l >= 3 curve is a piecewise-LINEAR log2 (exponent + mantissa of
+    the exact float32 representation of l+1): every operation is an
+    exact elementwise float op, so NumPy, XLA (any backend) and the
+    Pallas Mosaic kernel produce bit-identical costs — a transcendental
+    log2 here would make RD decisions backend-dependent."""
+    v = (l + 1).astype(jnp.float32)        # exact for l < 2^24
+    bits32 = jax.lax.bitcast_convert_type(v, jnp.int32)
+    e = ((bits32 >> 23) - 127).astype(jnp.float32)
+    m = (bits32 & 0x7FFFFF).astype(jnp.float32) * jnp.float32(2.0 ** -23)
     return jnp.where(
         l == 0, 1.0,
         jnp.where(l == 1, 2.5,
-                  jnp.where(l == 2, 4.0,
-                            2.0 * jnp.log2(lf + 1.0) + 3.5)))
+                  jnp.where(l == 2, 4.0, 2.0 * (e + m) + 3.5)))
 
 
 def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8,
@@ -144,12 +153,15 @@ def rd_quantize_np(coef, qp, lam, *, is_intra=True, bit_depth=8,
     lam = np.float32(lam * LAMBDA_SCALE)
 
     def bits(l):
-        lf = l.astype(np.float32)
+        v = (l + 1).astype(np.float32)
+        b32 = v.view(np.int32)
+        e = ((b32 >> 23) - 127).astype(np.float32)
+        m = (b32 & 0x7FFFFF).astype(np.float32) * np.float32(2.0 ** -23)
         return np.where(l == 0, np.float32(1.0),
                         np.where(l == 1, np.float32(2.5),
                                  np.where(l == 2, np.float32(4.0),
-                                          (2.0 * np.log2(lf + 1.0) + 3.5
-                                           ).astype(np.float32))))
+                                          (np.float32(2.0) * (e + m)
+                                           + np.float32(3.5)))))
 
     def cost(lv):
         deq = quant.dequantize_np(lv, qp, bit_depth=bit_depth)
