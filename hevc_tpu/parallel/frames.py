@@ -33,7 +33,7 @@ class FrameParallelAI:
     def __init__(self, cfg: headers.EncoderConfig, mesh,
                  cnn_params=None,
                  thresholds: Optional[hcpm.Thresholds] = None,
-                 recon_backend: str = "ctu",
+                 recon_backend: str = "auto",
                  decide_chunk: int = 0):
         """decide_chunk > 0 splits the decide stage (CNN + mode/partition
         search) into sub-batches of that many frames while the recon
@@ -45,6 +45,15 @@ class FrameParallelAI:
         self.cfg = cfg
         self.mesh = mesh
         self.cnn_params = cnn_params
+        if recon_backend == "auto":
+            # the Pallas mega-kernel needs real Mosaic (hardware); the
+            # XLA wavefront is the portable path. RDOQ "trellis" is not
+            # implemented in the kernel -> stay on XLA then.
+            import jax as _jax
+            from ..ops import rdoq as _rdoq
+            on_tpu = _jax.default_backend() == "tpu"
+            recon_backend = ("pallas" if on_tpu
+                             and _rdoq.RDOQ_MODEL == "lite" else "ctu")
         self.recon_backend = recon_backend
         self.decide_chunk = decide_chunk
         self.thr = thresholds or hcpm.DEFAULT_AI
@@ -112,6 +121,12 @@ class FrameParallelAI:
                     assemble(m4s, 16), assemble(nxns, 8))
 
         def recon_stage(ys, cbs, crs, d, m4, nxn):
+            if self.recon_backend == "pallas":
+                from ..pipeline import recon_pallas
+                return recon_pallas.encode_frame_planes_pallas(
+                    ys, cbs, crs, d, m4, nxn, qp=cfg.qp,
+                    pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                    rdoq=cfg.rdoq, interpret=False)
             return jax.vmap(recon_one)(ys, cbs, crs, d, m4, nxn)
 
         def full(ys, cbs, crs, params):
