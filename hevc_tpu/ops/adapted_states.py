@@ -73,9 +73,12 @@ def _corpus(qp: int, n_tus: int, seed: int):
             for _ in range(rng.randint(1, 6)):
                 resi[rng.randint(0, n), rng.randint(0, n)] = \
                     rng.uniform(-200, 200)
-        cf = transforms.forward_transform(
-            jnp.asarray(resi.round().astype(np.int32))[None])[0]
-        lvl = np.asarray(quant.quantize(cf[None], qp)[0])
+        # NumPy twins only: this runs at TRACE time when the stacked
+        # bits tables are built inside a jit (traced-QP programs); jnp
+        # ops here would leak into the enclosing trace.
+        cf = transforms.forward_transform_np(
+            resi.round().astype(np.int32)[None])[0]
+        lvl = quant.quantize_np(cf[None], qp)[0]
         if (lvl != 0).any():
             out.append(lvl.astype(np.int32))
     return out

@@ -134,6 +134,24 @@ def _tables(n: int, scan_type: int, is_luma: bool, qp: int,
                 lower_sub=lower_sub, ncg=ncg)
 
 
+@functools.lru_cache(maxsize=None)
+def _stacked_tables(n: int, scan_type: int, is_luma: bool,
+                    qp_set: tuple, init_type: int):
+    """Per-QP cost tables stacked over a leading qp_set axis, plus the
+    qp -> qp_set-index map (58 entries). Enables traced/per-block QP:
+    the compiled program gathers the right table row at runtime."""
+    ts = [_tables(n, scan_type, is_luma, int(q), init_type)
+          for q in qp_set]
+    out = dict(ts[0])
+    for k in ("cost_last", "cost_sig", "cost_cg", "cost_one", "cost_abs"):
+        out[k] = np.stack([t[k] for t in ts])
+    idx = np.zeros(58, np.int32)
+    for i, q in enumerate(qp_set):
+        idx[int(q)] = i
+    out["qp_idx"] = idx
+    return out
+
+
 def _golomb_bits(value, rice):
     """coeff_abs_level_remaining bit length (value >= 0, rice 0..4)."""
     thresh = 3 << rice
@@ -144,17 +162,63 @@ def _golomb_bits(value, rice):
     return jnp.where(value < thresh, small, big).astype(jnp.float32)
 
 
-def tu_bits_exact(levels, *, qp: int, is_luma: bool = True,
+def tu_bits_exact(levels, *, qp, is_luma: bool = True,
                   scan_type: int = scanlib.SCAN_DIAG,
-                  init_type: int = 0):
+                  init_type: int = 0, qp_set=None):
     """Exact frozen-state CABAC bits of one TU's residual syntax.
 
     levels: [..., n, n] int -> [...] float32 (0 for all-zero TUs).
-    qp / init_type are static (the search jits per frame QP).
-    """
+    qp static (python int): tables are trace-time constants. qp traced
+    (scalar or per-block array over the leading batch dims): pass the
+    static tuple `qp_set` of possible QP values; the compiled program
+    gathers the matching cost-table rows at runtime (GOP QP offsets and
+    LCU-level rate control share one compile)."""
+    from ..ops.quant import is_static_qp
+
     n = levels.shape[-1]
     batch = levels.shape[:-2]
-    t = _tables(n, scan_type, is_luma, int(qp), init_type)
+    static = is_static_qp(qp)
+    if static:
+        t = _tables(n, scan_type, is_luma, int(qp), init_type)
+
+        def lk_last(idx):
+            return jnp.take(jnp.asarray(t["cost_last"]), idx, axis=0)
+
+        def lk_cg(inc, v):
+            return jnp.asarray(t["cost_cg"])[inc, v]
+
+        def lk_sig(pat, k, v):
+            return jnp.asarray(t["cost_sig"])[pat, k, v]
+
+        def lk_one(cs, c1, v):
+            return jnp.asarray(t["cost_one"])[cs[..., None], c1, v]
+
+        def lk_abs(cs, v):
+            return jnp.asarray(t["cost_abs"])[cs, v]
+    else:
+        assert qp_set is not None, "traced qp requires static qp_set"
+        t = _stacked_tables(n, scan_type, is_luma,
+                            tuple(int(q) for q in qp_set), init_type)
+        qa = jnp.asarray(qp, jnp.int32)
+        qi = jnp.asarray(t["qp_idx"])[jnp.clip(qa, 0, 57)]  # [] or batch
+
+        def _q(extra):  # qi broadcast helper: append `extra` axes
+            return qi.reshape(qi.shape + (1,) * extra) if qi.ndim else qi
+
+        def lk_last(idx):
+            return jnp.asarray(t["cost_last"])[qi, idx]
+
+        def lk_cg(inc, v):
+            return jnp.asarray(t["cost_cg"])[_q(1), inc, v]
+
+        def lk_sig(pat, k, v):
+            return jnp.asarray(t["cost_sig"])[_q(1), pat, k, v]
+
+        def lk_one(cs, c1, v):
+            return jnp.asarray(t["cost_one"])[_q(2), cs[..., None], c1, v]
+
+        def lk_abs(cs, v):
+            return jnp.asarray(t["cost_abs"])[_q(1), cs, v]
     ncg = t["ncg"]
 
     a_r = jnp.abs(levels.reshape(*batch, n * n)).astype(jnp.int32)
@@ -166,8 +230,7 @@ def tu_bits_exact(levels, *, qp: int, is_luma: bool = True,
     last_k = jnp.max(jnp.where(nz, k_idx, -1), axis=-1)  # [...]
     last_cg = last_k >> 4
 
-    bits = jnp.take(jnp.asarray(t["cost_last"]),
-                    jnp.maximum(last_k, 0), axis=0)
+    bits = lk_last(jnp.maximum(last_k, 0))
 
     acg = a.reshape(*batch, ncg, 16)
     nzcg = acg > 0
@@ -186,10 +249,9 @@ def tu_bits_exact(levels, *, qp: int, is_luma: bool = True,
     pattern = nz_r.astype(jnp.int32) + 2 * nz_l.astype(jnp.int32)
     cg_coded = (subs >= 1) & (subs < last_cg[..., None])
     inc = (pattern > 0).astype(jnp.int32)
-    cost_cg = jnp.asarray(t["cost_cg"])
     bits = bits + jnp.where(
         cg_coded,
-        cost_cg[inc, cg_nz.astype(jnp.int32)], 0.0).sum(-1)
+        lk_cg(inc, cg_nz.astype(jnp.int32)), 0.0).sum(-1)
 
     # --- significant_coeff_flag -----------------------------------------
     # effective decoder flag: true significance, subset 0 and last forced 1
@@ -200,13 +262,12 @@ def tu_bits_exact(levels, *, qp: int, is_luma: bool = True,
         & ~jnp.take(nz_above0 | False, sub_of_k, axis=-1)
     sig_coded = (k_idx < last_k[..., None]) \
         & jnp.take(cg_flag, sub_of_k, axis=-1) & ~infer_skip
-    cost_sig = jnp.asarray(t["cost_sig"])                 # [npat, nn, 2]
-    pat_of_k = (jnp.take(pattern, sub_of_k, axis=-1)
-                if cost_sig.shape[0] > 1 else
+    npat = 1 if n == 4 else 4
+    pat_of_k = (jnp.take(pattern, sub_of_k, axis=-1) if npat > 1 else
                 jnp.zeros((*batch, n * n), jnp.int32))
     bits = bits + jnp.where(
         sig_coded,
-        cost_sig[pat_of_k, k_idx, nz.astype(jnp.int32)], 0.0).sum(-1)
+        lk_sig(pat_of_k, k_idx, nz.astype(jnp.int32)), 0.0).sum(-1)
 
     # --- greater1 / greater2 --------------------------------------------
     # coding order within a CG = descending within-CG scan index
@@ -238,10 +299,9 @@ def tu_bits_exact(levels, *, qp: int, is_luma: bool = True,
         ctx_set = jnp.where(subs > 0, 2, 0) + prev_gt1.astype(jnp.int32)
     else:
         ctx_set = prev_gt1.astype(jnp.int32) * jnp.ones(ncg, jnp.int32)
-    cost_one = jnp.asarray(t["cost_one"])                 # [nset, 4, 2]
     bits = bits + jnp.where(
         coded1,
-        cost_one[ctx_set[..., None], c1, v.astype(jnp.int32)],
+        lk_one(ctx_set, c1, v.astype(jnp.int32)),
         0.0).sum((-2, -1))
 
     # rank-ordered abs values per CG (rank 0 first; zeros pushed back)
@@ -255,10 +315,9 @@ def tu_bits_exact(levels, *, qp: int, is_luma: bool = True,
     first_gt1_val = jnp.where(
         vr8.any(-1),
         jnp.take_along_axis(ar, idx8[..., None], axis=-1)[..., 0], 0)
-    cost_abs = jnp.asarray(t["cost_abs"])
     gt2v = (first_gt1_val > 2).astype(jnp.int32)
     bits = bits + jnp.where(has_gt1,
-                            cost_abs[ctx_set, gt2v], 0.0).sum(-1)
+                            lk_abs(ctx_set, gt2v), 0.0).sum(-1)
 
     # --- signs (no sign hiding in our PPS) -------------------------------
     bits = bits + nz.sum(-1).astype(jnp.float32)

@@ -81,7 +81,9 @@ def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8,
     is_luma/init_type/ctx_qp select the context cost tables when
     RDOQ_MODEL == "trellis" (ignored by the lite model). init_type
     defaults to 0 (I slice) when is_intra else 1 (P slice)."""
-    if RDOQ_MODEL == "trellis":
+    if RDOQ_MODEL == "trellis" and quant.is_static_qp(qp):
+        # the trellis quantizer's context-cost tables are per-QP
+        # trace-time constants; traced-QP programs use the lite model
         from . import rdoq_trellis
         return rdoq_trellis.rd_quantize_trellis(
             coef, qp, lam, is_luma=is_luma, is_intra=is_intra,
@@ -89,13 +91,22 @@ def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8,
             else init_type, ctx_qp=ctx_qp, bit_depth=bit_depth)
     n = coef.shape[-1]
     log2n = int(n).bit_length() - 1
-    qbits = quant._qbits(qp, log2n, bit_depth)
-    scale = quant.QUANT_SCALES[qp % 6]
     a = jnp.abs(coef.astype(jnp.int32))
     sign = coef < 0
 
     # candidate levels: round-to-nearest and one below
-    hi = jnp.minimum((a * scale + (1 << (qbits - 1))) >> qbits, 32767)
+    if quant.is_static_qp(qp):
+        qbits = quant._qbits(qp, log2n, bit_depth)
+        scale = quant.QUANT_SCALES[qp % 6]
+        hi = (a * scale + (1 << (qbits - 1))) >> qbits
+    else:
+        q = quant._bcast_qp(qp, a.ndim)
+        qbits = (quant.QUANT_SHIFT + q // 6
+                 + quant.MAX_TR_DYNAMIC_RANGE - bit_depth - log2n)
+        scale = jnp.asarray(quant.QUANT_SCALES, jnp.int32)[q % 6]
+        hi = jnp.right_shift(a * scale + jnp.left_shift(1, qbits - 1),
+                             qbits)
+    hi = jnp.minimum(hi, 32767)
     lo = jnp.maximum(hi - 1, 0)
 
     al = jnp.float32(alpha(n, bit_depth))

@@ -172,25 +172,49 @@ class LDPEncoder:
         off = offsets[(poc - 1) % len(offsets)]
         return min(51, self.cfg.qp + off)
 
+    def _qp_set(self):
+        """Static tuple of every frame QP this sequence can use: the
+        base QP plus the GOP-offset QPs (and the rate-control window
+        when enabled via cfg). One compiled psearch serves them all."""
+        qps = {self.cfg.qp}
+        if self.use_gop_qp and self.cfg.gop_qp_offsets:
+            qps |= {min(51, self.cfg.qp + o)
+                    for o in self.cfg.gop_qp_offsets}
+        qps |= set(getattr(self, "extra_qps", ()))
+        return tuple(sorted(qps))
+
     def _search_fn(self, frame_qp: int, gated: bool, max_depth: int = 3):
-        key = (frame_qp, gated, max_depth)
+        """tree='full': ONE jitted program per (gated, max_depth) with
+        the frame QP as a traced argument — GOP-4 QP offsets and
+        rate-control QP changes reuse the same compile (the round-4
+        harness disabled GOP offsets because each distinct QP keyed a
+        multi-minute recompile). tree='flat' keeps per-QP compiles."""
+        cfg = self.cfg
+        if self.tree == "flat":
+            key = ("flat", frame_qp)
+            if key not in self._p_jit:
+                self._p_jit[key] = jax.jit(functools.partial(
+                    encode_p_frame_device, qp=frame_qp,
+                    pad_w=cfg.pad_width, pad_h=cfg.pad_height))
+            return self._p_jit[key]
+        qp_set = self._qp_set()
+        if frame_qp not in qp_set:       # rate control outside the set
+            qp_set = tuple(sorted(set(qp_set) | {frame_qp}))
+            self.extra_qps = tuple(sorted(
+                set(getattr(self, "extra_qps", ())) | {frame_qp}))
+        key = (qp_set, gated, max_depth)
         if key not in self._p_jit:
-            cfg = self.cfg
             thr = (self.predictor.thr if (gated and self.predictor)
                    else None)
-            kw = dict(qp=frame_qp, pad_w=cfg.pad_width,
-                      pad_h=cfg.pad_height, use_rdoq=cfg.rdoq,
-                      max_depth=max_depth, rect_pu=self.rect_pu)
+            kw = dict(pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                      use_rdoq=cfg.rdoq, max_depth=max_depth,
+                      rect_pu=self.rect_pu, qp_set=qp_set)
             if thr is not None:
                 kw.update(thr_up=thr.up, thr_down=thr.down)
-            if self.tree == "flat":
-                fn = functools.partial(
-                    encode_p_frame_device, qp=frame_qp,
-                    pad_w=cfg.pad_width, pad_h=cfg.pad_height)
-            else:
-                fn = functools.partial(self._psearch, **kw)
-            self._p_jit[key] = jax.jit(fn)
-        return self._p_jit[key]
+            self._p_jit[key] = jax.jit(functools.partial(
+                self._psearch, **kw))
+        fn = self._p_jit[key]
+        return functools.partial(fn, qp=jnp.int32(frame_qp))
 
     def encode(self, frames, with_hash_sei: bool = True,
                rate_control=None, collect=None):

@@ -79,11 +79,12 @@ def _node_origins(ctu_origins, depth: int, chroma: bool = False):
     return o // 2 if chroma else o
 
 
-def _tu_transform(blocks, qp: int, tu: int, lam, use_rdoq: bool,
-                  is_luma: bool = True):
+def _tu_transform(blocks, qp, tu: int, lam, use_rdoq: bool,
+                  is_luma: bool = True, qp_set=None):
     """[N, s, s] residual blocks -> (levels, recon_residual, bits) with
     TUs of size `tu` tiled in place. bits [N] = syntax-aware CABAC rate
-    estimate summed over the node's TUs (ops/bits.py)."""
+    estimate summed over the node's TUs (ops/bits.py). qp may be traced
+    (with static qp_set) — one compiled program serves every frame QP."""
     N, s, _ = blocks.shape
     g = s // tu
     t = blocks.reshape(N, g, tu, g, tu).transpose(0, 1, 3, 2, 4)
@@ -97,8 +98,9 @@ def _tu_transform(blocks, qp: int, tu: int, lam, use_rdoq: bool,
     rr = transforms.inverse_transform(quant.dequantize(lvl, qp))
     if search_lib.BIT_MODEL == "exact":
         from ..ops import bits_exact
-        bits = bits_exact.tu_bits_exact(lvl, qp=int(qp), is_luma=is_luma,
-                                        init_type=1)
+        bits = bits_exact.tu_bits_exact(
+            lvl, qp=int(qp) if quant.is_static_qp(qp) else qp,
+            is_luma=is_luma, init_type=1, qp_set=qp_set)
     else:
         from ..ops import bits as bits_lib
         bits = bits_lib.tu_bits(lvl, is_luma=is_luma)
@@ -156,13 +158,13 @@ def _neighbor_motion(mv_map, ref_map, B, n, nx, shift):
 
 
 def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
-                   ctu_origins, *, qp: int, pad_w: int, pad_h: int,
+                   ctu_origins, *, qp, pad_w: int, pad_h: int,
                    hcpm_probs: Optional[jax.Array] = None,
                    thr_up=(1.1, 1.1, 1.1), thr_down=(-0.1, -0.1, -0.1),
                    radius: int = 8, use_rdoq: bool = True,
                    n_active_refs: int = 1, max_depth: int = 3,
                    merge_rd: bool = True, intra_in_p: bool = True,
-                   rect_pu: bool = True):
+                   rect_pu: bool = True, qp_set=None):
     """Full quadtree inter search + coding of one P frame (jittable).
 
     cur_*: planes. ref_*: reference plane stacks [R, H, W] (RefPicList0
@@ -192,9 +194,24 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     # dynamic (traced) active-ref count: one compiled program serves the
     # whole sequence ramp-up (1, 2, .., num_refs active references)
     n_act = jnp.minimum(jnp.asarray(n_active_refs, jnp.int32), R)
-    lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
-    sqrt_lam = float(np.sqrt(lam))
+    if quant.is_static_qp(qp):
+        lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+        sqrt_lam = float(np.sqrt(lam))
+    else:
+        # traced frame QP: one compiled program serves every QP in
+        # qp_set (GOP-4 offsets, LCU rate control) — reference keys a
+        # full recompile per QP instead (HM re-inits per slice).
+        lam = 0.57 * jnp.exp2((jnp.asarray(qp, jnp.float32) - 12.0)
+                              / 3.0)
+        sqrt_lam = jnp.sqrt(lam)
+        assert qp_set is not None, "traced qp requires static qp_set"
+        # chroma TUs estimate bits at the chroma QP -> the stacked
+        # tables must cover the chroma-mapped values too
+        qp_set = tuple(sorted({int(q) for q in qp_set}
+                              | {quant.chroma_qp(int(q))
+                                 for q in qp_set}))
     cqp = quant.chroma_qp(qp)
+    tu_transform = functools.partial(_tu_transform, qp_set=qp_set)
     # ref_idx_l0 TU bin count per value (cMax = n_act - 1)
     ref_ids = jnp.arange(R, dtype=jnp.int32)
     ref_bits_tab = jnp.where(
@@ -303,7 +320,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                           is_luma=True, ref_idx=ref_sel)
         resi = cur_blocks.astype(jnp.int32) - pred
         tu = min(s, 32)
-        lvl, rr, bits_y = _tu_transform(resi, qp, tu, lam, use_rdoq)
+        lvl, rr, bits_y = tu_transform(resi, qp, tu, lam, use_rdoq)
         lvl_y_d[d], rr_y_d[d], pred_y_d[d] = lvl, rr, pred
 
         # chroma (4:2:0): node size s/2, TU = min(s, 32) / 2
@@ -317,9 +334,9 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                              ref_idx=ref_sel)
         resi_cb = _node_blocks(cur_cb_t, d).astype(jnp.int32) - pred_cb
         resi_cr = _node_blocks(cur_cr_t, d).astype(jnp.int32) - pred_cr
-        lvl_cb, rr_cb, bits_cb = _tu_transform(resi_cb, cqp, ctu_c, lam,
+        lvl_cb, rr_cb, bits_cb = tu_transform(resi_cb, cqp, ctu_c, lam,
                                                use_rdoq, is_luma=False)
-        lvl_cr, rr_cr, bits_cr = _tu_transform(resi_cr, cqp, ctu_c, lam,
+        lvl_cr, rr_cr, bits_cr = tu_transform(resi_cr, cqp, ctu_c, lam,
                                                use_rdoq, is_luma=False)
         lvl_cb_d[d], rr_cb_d[d], pred_cb_d[d] = lvl_cb, rr_cb, pred_cb
         lvl_cr_d[d], rr_cr_d[d], pred_cr_d[d] = lvl_cr, rr_cr, pred_cr
@@ -391,12 +408,12 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             skip_cost = sse_skip + lam * 3.0
 
             # merge with residual: full coding at the candidate motion
-            lvl_m, rr_m, mbits_y = _tu_transform(
+            lvl_m, rr_m, mbits_y = tu_transform(
                 cur_blocks.astype(jnp.int32) - pm_y, qp, tu, lam, use_rdoq)
-            lvl_mcb, rr_mcb, mbits_cb = _tu_transform(
+            lvl_mcb, rr_mcb, mbits_cb = tu_transform(
                 _node_blocks(cur_cb_t, d).astype(jnp.int32) - pm_cb, cqp,
                 ctu_c, lam, use_rdoq, is_luma=False)
-            lvl_mcr, rr_mcr, mbits_cr = _tu_transform(
+            lvl_mcr, rr_mcr, mbits_cr = tu_transform(
                 _node_blocks(cur_cr_t, d).astype(jnp.int32) - pm_cr, cqp,
                 ctu_c, lam, use_rdoq, is_luma=False)
             rec_m = jnp.clip(pm_y + rr_m, 0, 255)
@@ -507,13 +524,13 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                 pr_y = jnp.concatenate([pu[0][2], pu[1][2]], axis)
                 pr_cb = jnp.concatenate([pu[0][3], pu[1][3]], axis)
                 pr_cr = jnp.concatenate([pu[0][4], pu[1][4]], axis)
-                lvl_r, rr_r, rb_y = _tu_transform(
+                lvl_r, rr_r, rb_y = tu_transform(
                     cur_blocks.astype(jnp.int32) - pr_y, qp, tu_r, lam,
                     use_rdoq)
-                lvl_rcb, rr_rcb, rb_cb = _tu_transform(
+                lvl_rcb, rr_rcb, rb_cb = tu_transform(
                     _node_blocks(cur_cb_t, d).astype(jnp.int32) - pr_cb,
                     cqp, ctu_r, lam, use_rdoq, is_luma=False)
-                lvl_rcr, rr_rcr, rb_cr = _tu_transform(
+                lvl_rcr, rr_rcr, rb_cr = tu_transform(
                     _node_blocks(cur_cr_t, d).astype(jnp.int32) - pr_cr,
                     cqp, ctu_r, lam, use_rdoq, is_luma=False)
                 rec_r = jnp.clip(pr_y + rr_r, 0, 255)
@@ -592,13 +609,14 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                 cur_y, ctu_origins, d, pad_w, pad_h, nx_ctu)
             icost = search_lib._refined_costs(
                 cur_y, ctu_origins, d, m_i, qp, lam, pad_w=pad_w,
-                pad_h=pad_h, n_ctu_x=nx_ctu)
-            dist_w = jnp.float32(2.0 ** ((qp - cqp) / 3.0))
+                pad_h=pad_h, n_ctu_x=nx_ctu, qp_set=qp_set)
+            dist_w = jnp.exp2((jnp.asarray(qp, jnp.float32)
+                               - jnp.asarray(cqp, jnp.float32)) / 3.0)
             for cp in (cur_cb, cur_cr):
                 icost = icost + search_lib._refined_chroma_costs(
                     jnp.asarray(cp), ctu_origins, d, m_i, cqp, lam,
                     dist_w, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx_ctu,
-                    bits_qp=qp)
+                    bits_qp=qp, qp_set=qp_set)
             # intra-in-P overhead: pred_mode + part + intra dir + cbfs
             icost = (icost + lam * 11.5).reshape(-1)
             is_intra = icost < amvp_cost

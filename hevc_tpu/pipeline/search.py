@@ -128,19 +128,22 @@ def _best_mode_per_node(y_plane, ctu_origins, depth, pad_w, pad_h, n_ctu_x):
 BIT_MODEL = os.environ.get("HEVC_TPU_BIT_MODEL", "weights")
 
 
-def _bits_estimate(levels, qp, is_luma=True):
+def _bits_estimate(levels, qp, is_luma=True, qp_set=None):
     """Coefficient-rate estimate. levels: [..., n, n] -> [...] float32.
-    qp = slice QP (context-table selector; static under jit)."""
+    qp = slice QP (context-table selector; static, or traced with the
+    static qp_set tuple of possible values)."""
     if BIT_MODEL == "exact":
         from ..ops import bits_exact
-        return bits_exact.tu_bits_exact(levels, qp=int(qp),
-                                        is_luma=is_luma)
+        from ..ops.quant import is_static_qp
+        return bits_exact.tu_bits_exact(
+            levels, qp=int(qp) if is_static_qp(qp) else qp,
+            is_luma=is_luma, qp_set=qp_set)
     from ..ops import bits as bits_lib
     return bits_lib.tu_bits(levels, is_luma=is_luma)
 
 
 def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
-                   pad_w, pad_h, n_ctu_x, use_dst=False):
+                   pad_w, pad_h, n_ctu_x, use_dst=False, qp_set=None):
     """RD cost of each node coded as a leaf with its chosen mode:
     SSE(reconstruction) + lambda * estimated bits (HM J = D + lambda*R,
     TComRdCost::calcRdCost behavioral equivalent on original-pixel refs).
@@ -188,14 +191,14 @@ def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
     rec = jnp.clip(pred + rresi, 0, 255)
     d = (rec - orig).astype(jnp.float32)
     sse = (d * d).sum((-2, -1))
-    bits = _bits_estimate(lvl, qp)
+    bits = _bits_estimate(lvl, qp, qp_set=qp_set)
     cost = sse + lam * bits
     return cost.reshape(B, nd, n_tu).sum(-1)
 
 
 def _refined_chroma_costs(c_plane, ctu_origins, depth, modes, cqp, lam,
                           dist_w, *, pad_w, pad_h, n_ctu_x,
-                          bits_qp=None):
+                          bits_qp=None, qp_set=None):
     """Chroma-component leaf RD contribution per node: weighted SSE +
     lambda * bits of the DM-mode (= luma mode) chroma TB(s). Mirrors the
     reconstruction tiling (pipeline/recon.code_ctu): one TB of size
@@ -244,7 +247,7 @@ def _refined_chroma_costs(c_plane, ctu_origins, depth, modes, cqp, lam,
     d = (rec - orig).astype(jnp.float32)
     sse = (d * d).sum((-2, -1))
     bits = _bits_estimate(lvl, cqp if bits_qp is None else bits_qp,
-                          is_luma=False)
+                          is_luma=False, qp_set=qp_set)
     cost = dist_w * sse + lam * bits
     return cost.reshape(B, nd, n_tu).sum(-1)
 

@@ -1,5 +1,7 @@
 """Inter MC filters, motion search, LDP pre-encode + predictor chain."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -286,3 +288,32 @@ def test_ldp_encoder_deblock_e2e(tmp_path):
         np.testing.assert_array_equal(d.y, r.y, err_msg=f"luma frame {i}")
         np.testing.assert_array_equal(d.cb, r.cb, err_msg=f"cb frame {i}")
         np.testing.assert_array_equal(d.cr, r.cr, err_msg=f"cr frame {i}")
+
+
+def test_psearch_traced_qp_matches_static():
+    """p_search_frame with a TRACED frame QP (static qp_set) is
+    bit-identical to the per-QP-compiled program — the property that
+    lets GOP-4 QP offsets and rate control share one compile."""
+    from hevc_tpu.pipeline import psearch, search as search_lib
+
+    rng = np.random.RandomState(3)
+    ref_y = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    cur_y = np.roll(ref_y, (1, 2), axis=(0, 1))
+    cur_y[8:40, 70:110] = rng.randint(0, 256, (32, 40))
+    cb = np.full((32, 64), 128, np.uint8)
+    cb2 = np.clip(cb + rng.randint(-9, 9, cb.shape), 0, 255
+                  ).astype(np.uint8)
+    origins = jnp.asarray(search_lib.ctu_grid(128, 64))
+    args = (cur_y.astype(np.int32), cb2.astype(np.int32),
+            cb2.astype(np.int32), ref_y.astype(np.int32),
+            cb.astype(np.int32), cb.astype(np.int32), origins)
+    qp_set = (27, 32, 37)
+    traced = jax.jit(functools.partial(
+        psearch.p_search_frame, pad_w=128, pad_h=64, qp_set=qp_set))
+    for qp in qp_set:
+        ref = psearch.p_search_frame(*args, qp=qp, pad_w=128, pad_h=64)
+        got = traced(*args, qp=jnp.int32(qp))
+        for name in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(got, name)), err_msg=f"qp{qp} {name}")
