@@ -77,6 +77,7 @@ def main():
         raise _Deadline()
 
     result = None
+    t_start = time.perf_counter()
     try:
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(int(max(60.0, budget - reserve)))
@@ -92,6 +93,23 @@ def main():
     if result is None:
         result = bench_predictor()
         result["note"] = "fallback: full-encoder bench missed the deadline"
+        print(json.dumps(result))
+        return
+    # Secondary metric: LDP 1080p TPU throughput (VERDICT r4 #6) — runs
+    # only inside the remaining budget, never at the AI metric's expense.
+    remaining = budget - reserve - (time.perf_counter() - t_start)
+    if remaining > 120.0:
+        try:
+            signal.alarm(int(remaining))
+            from hevc_tpu.pipeline import bench_hooks
+            result["detail"]["ldp"] = bench_hooks.bench_encode_ldp_1080p()
+        except BaseException:
+            import sys
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            result["detail"]["ldp"] = {"note": "missed the deadline"}
+        finally:
+            signal.alarm(0)
     print(json.dumps(result))
 
 

@@ -105,6 +105,7 @@ def parse_sps(rbsp: bytes) -> Sps:
 class Pps:
     init_qp: int = 26
     deblock_disabled: bool = True
+    cu_qp_delta: bool = False
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     sign_data_hiding: bool = False
@@ -125,7 +126,9 @@ def parse_pps(rbsp: bytes) -> Pps:
     pps.init_qp = 26 + r.se()
     r.u(1)                      # constrained_intra_pred
     assert r.u(1) == 0, "transform_skip unsupported"
-    assert r.u(1) == 0, "cu_qp_delta unsupported"
+    pps.cu_qp_delta = bool(r.u(1))
+    if pps.cu_qp_delta:
+        assert r.ue() == 0, "diff_cu_qp_depth != 0 unsupported"
     pps.cb_qp_offset = r.se()
     pps.cr_qp_offset = r.se()
     r.u(1)                      # slice chroma qp offsets present

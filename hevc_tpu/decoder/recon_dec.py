@@ -147,6 +147,16 @@ def recon_inter_frame(dec: dict, refs, W: int, H: int,
         ref8 = np.zeros_like(depth8)
     coef_y, coef_cb, coef_cr = dec["coef_y"], dec["coef_cb"], dec["coef_cr"]
     cqp = quant.chroma_qp(qp)
+    # per-CTB QP (cu_qp_delta streams, LCU rate control): dequantize
+    # each CU at its CTB's signalled QP (8.6.1, diff_cu_qp_depth = 0)
+    qp_ctb = dec.get("qp_ctb")
+
+    def qp_at(x, y):
+        return qp if qp_ctb is None else int(qp_ctb[y >> 6, x >> 6])
+
+    def cqp_at(x, y):
+        return (cqp if qp_ctb is None
+                else quant.chroma_qp(int(qp_ctb[y >> 6, x >> 6])))
 
     recon_y = np.zeros((H, W), np.int32)
     recon_cb = np.zeros((H // 2, W // 2), np.int32)
@@ -206,16 +216,17 @@ def recon_inter_frame(dec: dict, refs, W: int, H: int,
                 for tx in range(size // tu):
                     px, py_ = tx * tu, ty * tu
                     _add_residual(recon_y, coef_y, x0 + px, y0 + py_, tu,
-                                  qp, pred_y[py_:py_ + tu, px:px + tu])
+                                  qp_at(x0, y0),
+                                  pred_y[py_:py_ + tu, px:px + tu])
             half = size >> 1
             for ty in range(half // ctu_):
                 for tx in range(half // ctu_):
                     px, py_ = tx * ctu_, ty * ctu_
                     _add_residual(recon_cb, coef_cb, (x0 >> 1) + px,
-                                  (y0 >> 1) + py_, ctu_, cqp,
+                                  (y0 >> 1) + py_, ctu_, cqp_at(x0, y0),
                                   pred_cb[py_:py_ + ctu_, px:px + ctu_])
                     _add_residual(recon_cr, coef_cr, (x0 >> 1) + px,
-                                  (y0 >> 1) + py_, ctu_, cqp,
+                                  (y0 >> 1) + py_, ctu_, cqp_at(x0, y0),
                                   pred_cr[py_:py_ + ctu_, px:px + ctu_])
 
     for size in (8, 16, 32, 64):
@@ -245,16 +256,17 @@ def recon_inter_frame(dec: dict, refs, W: int, H: int,
                 for tx in range(size // tu):
                     px, py = tx * tu, ty * tu
                     _add_residual(recon_y, coef_y, x0 + px, y0 + py, tu,
-                                  qp, pred_y[i, py:py + tu, px:px + tu])
+                                  qp_at(x0, y0),
+                                  pred_y[i, py:py + tu, px:px + tu])
             half = size >> 1
             for ty in range(half // ctu_):
                 for tx in range(half // ctu_):
                     px, py = tx * ctu_, ty * ctu_
                     _add_residual(recon_cb, coef_cb, (x0 >> 1) + px,
-                                  (y0 >> 1) + py, ctu_, cqp,
+                                  (y0 >> 1) + py, ctu_, cqp_at(x0, y0),
                                   pred_cb[i, py:py + ctu_, px:px + ctu_])
                     _add_residual(recon_cr, coef_cr, (x0 >> 1) + px,
-                                  (y0 >> 1) + py, ctu_, cqp,
+                                  (y0 >> 1) + py, ctu_, cqp_at(x0, y0),
                                   pred_cr[i, py:py + ctu_, px:px + ctu_])
 
     if intra8 is not None:

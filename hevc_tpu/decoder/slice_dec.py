@@ -92,13 +92,15 @@ def _empty_sao(n_ctu: int) -> SaoParams:
 class ISliceDecoder:
     """Parses one I-slice payload into decision tensors."""
 
-    def __init__(self, sps, qp: int, sao_on: bool):
+    def __init__(self, sps, qp: int, sao_on: bool,
+                 cu_qp_delta: bool = False):
         self.W = sps.pad_width
         self.H = sps.pad_height
         self.nx = sps.ctus_x
         self.ny = sps.ctus_y
         self.qp = qp
         self.sao_on = sao_on
+        self.cu_qp_delta = cu_qp_delta
 
     def decode(self, data: bytes):
         W, H = self.W, self.H
@@ -118,6 +120,7 @@ class ISliceDecoder:
             if sao is not None:
                 decode_sao_ctu(self.dec, self.ctx, sao, ci, cx, cy,
                                self.nx)
+            self._dqp_pending = self.cu_qp_delta
             self._coding_quadtree(cx * 64, cy * 64, 64, 0)
             term = self.dec.decode_terminate()
             assert term == (1 if ci == n_ctu - 1 else 0), \
@@ -126,6 +129,16 @@ class ISliceDecoder:
                     nxn8=self.nxn8, coef_y=self.coef_y,
                     coef_cb=self.coef_cb, coef_cr=self.coef_cr,
                     sao=sao)
+
+    def _parse_dqp0(self):
+        """cu_qp_delta in an I slice of our streams: the encoder pins
+        intra pictures at the slice QP, so the delta is always 0 —
+        parse and verify (one bin on ctx dqp[0])."""
+        if not self._dqp_pending:
+            return
+        self._dqp_pending = False
+        a = self.dec.decode_bin(self.ctx, self.ctx.idx("dqp", 0))
+        assert a == 0, "nonzero cu_qp_delta in I slice unsupported"
 
     # -- quadtree ---------------------------------------------------------
     def _coding_quadtree(self, x0, y0, size, depth):
@@ -251,6 +264,8 @@ class ISliceDecoder:
         for i, (dx, dy) in enumerate(((0, 0), (4, 0), (0, 4), (4, 4))):
             x1, y1 = x0 + dx, y0 + dy
             cl = dec.decode_bin(ctx, ctx.idx("qt_cbf_luma", 0))
+            if cl or (i == 3 and (cbf_cb or cbf_cr)):
+                self._parse_dqp0()
             if cl:
                 st = scanlib.scan_type_for(pu_modes[i], 4, True)
                 self._decode_residual_into(self.coef_y, x1, y1, 4, st, True)
@@ -265,6 +280,8 @@ class ISliceDecoder:
 
     def _transform_unit(self, x0, y0, size, cbf_luma, cbf_cb, cbf_cr,
                         luma_mode):
+        if cbf_luma or cbf_cb or cbf_cr:
+            self._parse_dqp0()
         if cbf_luma:
             st = scanlib.scan_type_for(luma_mode, size, True)
             self._decode_residual_into(self.coef_y, x0, y0, size, st, True)
@@ -290,12 +307,14 @@ class PSliceDecoder:
     identically to L0 (bi rounding of equal inputs == uni rounding)."""
 
     def __init__(self, sps, qp: int, sao_on: bool, is_b: bool = False,
-                 n_refs: int = 1, poc: int = 1, ref_pocs=None):
+                 n_refs: int = 1, poc: int = 1, ref_pocs=None,
+                 cu_qp_delta: bool = False):
         self.W = sps.pad_width
         self.H = sps.pad_height
         self.nx = sps.ctus_x
         self.ny = sps.ctus_y
         self.qp = qp
+        self.cu_qp_delta = cu_qp_delta
         self.sao_on = sao_on
         self.is_b = is_b
         self.n_refs = n_refs
@@ -325,6 +344,11 @@ class PSliceDecoder:
         self.ctx = ContextModels(init_type=2 if self.is_b else 1,
                                  qp=self.qp)
         self.dec = CabacDecoder(data)
+        # per-CTB QP (8.6.1 with diff_cu_qp_depth = 0: predictor ==
+        # previous QG's QP in decoding order; slice QP at slice start)
+        self.qp_ctb = np.full((self.ny, self.nx), self.qp, np.int32)
+        self._qp_prev = self.qp
+        self._dqp_pending = False
         n_ctu = self.nx * self.ny
         sao = _empty_sao(n_ctu) if self.sao_on else None
         for ci in range(n_ctu):
@@ -332,6 +356,8 @@ class PSliceDecoder:
             if sao is not None:
                 decode_sao_ctu(self.dec, self.ctx, sao, ci, cx, cy,
                                self.nx)
+            self._dqp_pending = self.cu_qp_delta
+            self.qp_ctb[cy, cx] = self._qp_prev
             self._coding_quadtree(cx * 64, cy * 64, 64, 0)
             term = self.dec.decode_terminate()
             assert term == (1 if ci == n_ctu - 1 else 0), \
@@ -340,7 +366,8 @@ class PSliceDecoder:
                     coef_y=self.coef_y, coef_cb=self.coef_cb,
                     coef_cr=self.coef_cr, sao=sao,
                     intra8=self.intra8, imodes4=self.imodes4,
-                    part8=self.part8)
+                    part8=self.part8,
+                    qp_ctb=self.qp_ctb if self.cu_qp_delta else None)
 
     def _coding_quadtree(self, x0, y0, size, depth):
         inside = (x0 + size <= self.W) and (y0 + size <= self.H)
@@ -576,6 +603,8 @@ class PSliceDecoder:
         self._intra_transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr, mode)
 
     def _intra_transform_unit(self, x0, y0, size, cl, ccb, ccr, mode):
+        if cl or ccb or ccr:
+            self._maybe_parse_dqp(x0, y0)
         if cl:
             st = scanlib.scan_type_for(mode, size, True)
             blk = residual.decode_residual(self.dec, self.ctx, size,
@@ -612,7 +641,35 @@ class PSliceDecoder:
                 cl = 1          # inferred (rqt_root_cbf was 1)
             self._transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr)
 
+    def _maybe_parse_dqp(self, x0, y0):
+        """cu_qp_delta at the first coded TU of the CTB QG (7.3.8.12 /
+        9.3.3): TR cMax 5 on ctx dqp[0]/dqp[1], EG0 bypass suffix,
+        bypass sign."""
+        if not self._dqp_pending:
+            return
+        self._dqp_pending = False
+        dec, ctx = self.dec, self.ctx
+        a = dec.decode_bin(ctx, ctx.idx("dqp", 0))
+        if a:
+            while a < 5 and dec.decode_bin(ctx, ctx.idx("dqp", 1)):
+                a += 1
+            if a == 5:
+                k = 0                       # EG0 (xReadEpExGolomb)
+                while dec.decode_bypass():
+                    a += 1 << k
+                    k += 1
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | dec.decode_bypass()
+                a += v
+            if dec.decode_bypass():
+                a = -a
+        self._qp_prev = self._qp_prev + a
+        self.qp_ctb[y0 >> 6, x0 >> 6] = self._qp_prev
+
     def _transform_unit(self, x0, y0, size, cl, ccb, ccr):
+        if cl or ccb or ccr:
+            self._maybe_parse_dqp(x0, y0)
         if cl:
             blk = residual.decode_residual(self.dec, self.ctx, size,
                                            is_luma=True,

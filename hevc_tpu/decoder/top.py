@@ -95,8 +95,9 @@ def decode_annexb(stream: bytes) -> DecodeResult:
             W, H = sps.pad_width, sps.pad_height
             sao_on = sps.sao and (sh.sao_luma or sh.sao_chroma)
             if sh.slice_type == 2:
-                dec = slice_dec.ISliceDecoder(sps, sh.qp, sao_on).decode(
-                    sh.data)
+                dec = slice_dec.ISliceDecoder(
+                    sps, sh.qp, sao_on,
+                    cu_qp_delta=pps.cu_qp_delta).decode(sh.data)
                 rec = recon_dec.recon_intra_frame(dec, W, H, sh.qp)
                 inter_pic = False
             else:
@@ -110,7 +111,8 @@ def decode_annexb(stream: bytes) -> DecodeResult:
                 dec = slice_dec.PSliceDecoder(
                     sps, sh.qp, sao_on, is_b=sh.slice_type == 0,
                     n_refs=sh.n_active_refs, poc=poc,
-                    ref_pocs=ref_pocs).decode(sh.data)
+                    ref_pocs=ref_pocs,
+                    cu_qp_delta=pps.cu_qp_delta).decode(sh.data)
                 rec = recon_dec.recon_inter_frame(dec, refs, W, H, sh.qp)
                 inter_pic = True
             rec = recon_dec.apply_loop_filters(

@@ -27,6 +27,10 @@ class EncoderConfig:
     # LDP GOP-4 per-frame QP offsets by POC % 4 (1,2,3,0), matching the
     # reference encoder_lowdelay_P_main.cfg Frame1..4 QPoffset column.
     gop_qp_offsets: tuple = (3, 2, 3, 1)
+    # per-CTB QP signalling (LCU-level rate control): PPS
+    # cu_qp_delta_enabled_flag with diff_cu_qp_depth = 0 (quantization
+    # group = CTB). Reference: TEncRateCtrl.cpp:1402 LCU path.
+    cu_qp_delta: bool = False
     # coding-grid alignment: pad to multiples of max(min_cu, pad_align).
     # The LDP/LDB pipeline sets pad_align=64 (whole CTUs only); the SPS
     # conformance window crops the padding back out (7.4.3.2.1).
@@ -163,7 +167,9 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     bw.se(cfg.qp - 26)  # init_qp_minus26
     bw.u(0, 1)        # constrained_intra_pred_flag
     bw.u(0, 1)        # transform_skip_enabled_flag
-    bw.u(0, 1)        # cu_qp_delta_enabled_flag
+    bw.u(1 if cfg.cu_qp_delta else 0, 1)  # cu_qp_delta_enabled_flag
+    if cfg.cu_qp_delta:
+        bw.ue(0)      # diff_cu_qp_delta_depth (QG = CTB)
     bw.se(0)          # pps_cb_qp_offset
     bw.se(0)          # pps_cr_qp_offset
     bw.u(0, 1)        # pps_slice_chroma_qp_offsets_present_flag

@@ -71,6 +71,12 @@ class SliceEncoder:
         self.ctx = ctx
         self.enc = enc
 
+        # cu_qp_delta presence: when the PPS enables per-CTB QP (LCU
+        # rate control on the P frames), the syntax element exists in I
+        # slices too — coded as delta 0 at each CTB's first coded TU
+        # (the intra pictures stay at the slice QP).
+        self._dqp_pending = False
+
         n_ctu_x, n_ctu_y = self.cfg.ctus_x, self.cfg.ctus_y
         n_ctu = n_ctu_x * n_ctu_y
         for ci in range(n_ctu):
@@ -78,6 +84,8 @@ class SliceEncoder:
             if sao is not None:
                 from . import sao_syntax
                 sao_syntax.code_sao_ctu(enc, ctx, sao, ci, cx, cy, n_ctu_x)
+            self._dqp_pending = bool(getattr(self.cfg, "cu_qp_delta",
+                                             False))
             self._coding_quadtree(cx * 64, cy * 64, 64, 0)
             last = ci == n_ctu - 1
             enc.encode_terminate(1 if last else 0)
@@ -265,6 +273,10 @@ class SliceEncoder:
             cl = self._tu_cbf(0, x1, y1, 4)
             self.enc.encode_bin(
                 self.ctx, self.ctx.idx("qt_cbf_luma", 0), cl)
+            if self._dqp_pending and (cl or (i == 3
+                                            and (cbf_cb or cbf_cr))):
+                self._dqp_pending = False
+                self.enc.encode_bin(self.ctx, self.ctx.idx("dqp", 0), 0)
             if cl:
                 blk = self.coef_y[y1:y1 + 4, x1:x1 + 4]
                 st = scanlib.scan_type_for(pu_modes[i], 4, True)
@@ -287,6 +299,10 @@ class SliceEncoder:
                         luma_mode):
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
+        if self._dqp_pending:
+            # cu_qp_delta_abs = 0: single bin on ctx dqp[0] (7.3.8.12)
+            self._dqp_pending = False
+            self.enc.encode_bin(self.ctx, self.ctx.idx("dqp", 0), 0)
         if cbf_luma:
             blk = self.coef_y[y0:y0 + size, x0:x0 + size]
             st = scanlib.scan_type_for(luma_mode, size, True)

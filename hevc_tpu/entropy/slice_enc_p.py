@@ -45,10 +45,12 @@ class PSliceEncoder:
         self.poc = poc
         self.ref_pocs = (list(ref_pocs) if ref_pocs is not None
                          else [poc - 1 - i for i in range(n_refs)])
+        self._dqp_pending = False
+        self.qp_map = None
 
     def encode(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                sao=None, ref8=None, intra8=None, imode8=None,
-               part8=None):
+               part8=None, qp_map=None):
         """intra8/imode8: optional [H8, W8] intra-in-P decision maps
         (TEncCu.cpp:1438 escape): intra8 marks intra-coded CUs, imode8
         their luma mode. Intra CUs are excluded from the motion field
@@ -87,6 +89,19 @@ class PSliceEncoder:
         self.enc = enc
         self.skip8 = np.zeros((self.H >> 3, self.W >> 3), np.uint8)
 
+        # cu_qp_delta (LCU rate control): one delta per CTB-sized QG at
+        # its first coded TU; QGs with no coded coefficients inherit
+        # qPY_PREV (8.6.1 with diff_cu_qp_depth = 0: both spatial
+        # predictors fall outside the CTB -> predictor == previous QG's
+        # QP in decoding order, slice QP at slice start).
+        if qp_map is None and getattr(self.cfg, "cu_qp_delta", False):
+            # PPS flag on but uniform QP: code delta-0 per coded CTB
+            qp_map = np.full((self.cfg.ctus_y, self.cfg.ctus_x),
+                             self.qp, np.int32)
+        self.qp_map = None if qp_map is None else np.asarray(qp_map)
+        self._qp_prev = self.qp
+        self._dqp_pending = False
+
         nx, ny = self.cfg.ctus_x, self.cfg.ctus_y
         n_ctu = nx * ny
         for ci in range(n_ctu):
@@ -94,6 +109,7 @@ class PSliceEncoder:
             if sao is not None:
                 from . import sao_syntax
                 sao_syntax.code_sao_ctu(enc, ctx, sao, ci, cx, cy, nx)
+            self._dqp_pending = self.qp_map is not None
             self._coding_quadtree(cx * 64, cy * 64, 64, 0)
             enc.encode_terminate(1 if ci == n_ctu - 1 else 0)
 
@@ -236,6 +252,7 @@ class PSliceEncoder:
     def _intra_transform_unit(self, x0, y0, size, cl, ccb, ccr, mode):
         if not (cl or ccb or ccr):
             return
+        self._maybe_code_dqp(x0, y0)
         if cl:
             blk = self.coef_y[y0:y0 + size, x0:x0 + size]
             st = scanlib.scan_type_for(mode, size, True)
@@ -431,9 +448,43 @@ class PSliceEncoder:
             # else: cbf_luma inferred 1 (rqt_root_cbf was 1)
             self._transform_unit(x0, y0, size, cl, cbf_cb, cbf_cr)
 
+    def _maybe_code_dqp(self, x0, y0):
+        """cu_qp_delta at the first coded TU of the CTB-sized QG
+        (7.3.8.12; the encoder's per-CTB QP comes from qp_map)."""
+        if not self._dqp_pending:
+            return
+        self._dqp_pending = False
+        qpn = int(self.qp_map[y0 >> 6, x0 >> 6])
+        self._write_dqp(qpn - self._qp_prev)
+        self._qp_prev = qpn
+
+    def _write_dqp(self, delta):
+        """cu_qp_delta_abs (TR cMax 5, ctx dqp[0]/dqp[1] + EG0 bypass
+        suffix) + cu_qp_delta_sign_flag (9.3.3; HM codeDeltaQP)."""
+        enc, ctx = self.enc, self.ctx
+        a = abs(delta)
+        prefix = min(a, 5)
+        enc.encode_bin(ctx, ctx.idx("dqp", 0), int(a > 0))
+        if a > 0:
+            for _ in range(1, prefix):
+                enc.encode_bin(ctx, ctx.idx("dqp", 1), 1)
+            if prefix < 5:
+                enc.encode_bin(ctx, ctx.idx("dqp", 1), 0)
+            else:
+                v, k = a - 5, 0             # EG0 (xWriteEpExGolomb)
+                while v >= (1 << k):
+                    enc.encode_bypass(1)
+                    v -= 1 << k
+                    k += 1
+                enc.encode_bypass(0)
+                for i in reversed(range(k)):
+                    enc.encode_bypass((v >> i) & 1)
+            enc.encode_bypass(int(delta < 0))
+
     def _transform_unit(self, x0, y0, size, cl, ccb, ccr):
         if not (cl or ccb or ccr):
             return
+        self._maybe_code_dqp(x0, y0)
         if cl:
             blk = self.coef_y[y0:y0 + size, x0:x0 + size]
             residual.code_residual(self.enc, self.ctx, blk, is_luma=True,

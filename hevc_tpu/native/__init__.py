@@ -45,7 +45,7 @@ def load():
     lib.hevc_encode_slice_p.argtypes = [_I32P] * 5 + [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        _I32P, ctypes.c_int, ctypes.c_int, _I32P] + [_I32P] * 7
+        _I32P, ctypes.c_int, ctypes.c_int, _I32P] + [_I32P] * 8
     _lib = lib
     return lib
 
@@ -101,13 +101,21 @@ def encode_slice_data_p(depth8, mvq8, coef_y, coef_cb, coef_cr,
                         pad_w: int, pad_h: int, qp: int,
                         is_b: bool = False, ref8=None, n_refs: int = 1,
                         poc: int = 1, ref_pocs=None, sao=None,
-                        intra8=None, imode8=None, part8=None) -> bytes:
+                        intra8=None, imode8=None, part8=None,
+                        qp_map=None) -> bytes:
     """CABAC-encode a P (or low-delay B) slice's data (native).
     ref8: optional [H8, W8] L0 refIdx per 8x8 unit (None = all 0);
     ref_pocs: POC of each active L0 reference (default poc-1-i);
     intra8/imode8: optional intra-in-P decision maps ([H8, W8]: CU
     intra flag + intra luma mode); part8: optional [H8, W8] PU
-    partition per cell (0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N)."""
+    partition per cell (0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N);
+    qp_map: optional [ny, nx] per-CTB QP (cu_qp_delta syntax, LCU
+    rate control). Combined with intra-in-P the delta inside the
+    shared I-slice TU machinery is not wired -> caller must fall back
+    to the Python coder (enforced here)."""
+    if qp_map is not None and intra8 is not None:
+        raise NotImplementedError(
+            "cu_qp_delta + intra-in-P: python CABAC path")
     lib = load()
     d8 = _as_i32(depth8)
     mv = _as_i32(mvq8)
@@ -127,6 +135,7 @@ def encode_slice_data_p(depth8, mvq8, coef_y, coef_cb, coef_cr,
             np.where(np.asarray(intra8, bool), np.asarray(imode8), 1),
             2, 0), 2, 1))
     p8 = _as_i32(part8) if part8 is not None else None
+    qm = _as_i32(qp_map) if qp_map is not None else None
     n = lib.hevc_encode_slice_p(_ptr(d8), _ptr(mv), _ptr(cy), _ptr(cb),
                                 _ptr(cr), pad_w, pad_h, qp,
                                 _ptr(out, ctypes.c_uint8), cap, int(is_b),
@@ -134,7 +143,8 @@ def encode_slice_data_p(depth8, mvq8, coef_y, coef_cb, coef_cr,
                                 int(n_refs), int(poc), _ptr(rp), *sp,
                                 _ptr(i8) if i8 is not None else _NULL,
                                 _ptr(m4) if m4 is not None else _NULL,
-                                _ptr(p8) if p8 is not None else _NULL)
+                                _ptr(p8) if p8 is not None else _NULL,
+                                _ptr(qm) if qm is not None else _NULL)
     if n < 0:
         raise RuntimeError("hevc_encode_slice_p failed")
     return out[:n].tobytes()

@@ -794,6 +794,35 @@ struct PSliceEnc {
   const int32_t* imodes4 = nullptr;   // per 4x4: intra mode (DC at inter)
   // rectangular-PU partition per 8x8 (0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N)
   const int32_t* part8 = nullptr;
+  // cu_qp_delta (LCU rate control): per-CTB QP map [ny][nx] (null =
+  // off). qp_prev / dqp_pending track the 8.6.1 predictor chain with
+  // diff_cu_qp_depth = 0 (QG = CTB -> predictor = previous QG's QP).
+  const int32_t* qp_map = nullptr;
+  int qp_prev = 0;
+  bool dqp_pending = false;
+
+  void maybe_code_dqp(int x0, int y0) {
+    if (!dqp_pending) return;
+    dqp_pending = false;
+    int qpn = qp_map[(y0 >> 6) * n_ctu_x + (x0 >> 6)];
+    int delta = qpn - qp_prev;
+    qp_prev = qpn;
+    int a = delta < 0 ? -delta : delta;
+    int prefix = a < 5 ? a : 5;
+    c.bin(CTX_DQP + 0, a > 0 ? 1 : 0);
+    if (a > 0) {
+      for (int i = 1; i < prefix; ++i) c.bin(CTX_DQP + 1, 1);
+      if (prefix < 5) {
+        c.bin(CTX_DQP + 1, 0);
+      } else {                         // EG0 suffix (xWriteEpExGolomb)
+        int v = a - 5, k = 0;
+        while (v >= (1 << k)) { c.ep(1); v -= 1 << k; ++k; }
+        c.ep(0);
+        for (int i = k - 1; i >= 0; --i) c.ep((v >> i) & 1);
+      }
+      c.ep(delta < 0 ? 1 : 0);
+    }
+  }
 
   struct Mot { int x, y, ref; bool ok; };
 
@@ -922,6 +951,7 @@ struct PSliceEnc {
 
   void transform_unit(int x0, int y0, int size, bool cl, bool ccb, bool ccr) {
     if (!(cl || ccb || ccr)) return;
+    maybe_code_dqp(x0, y0);
     if (cl) code_residual(coef_y + y0 * W + x0, W, size, true);
     int half = size >> 1;
     if (ccb) code_residual(coef_cb + (y0 >> 1) * Wc + (x0 >> 1), Wc, half,
@@ -1258,7 +1288,8 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
                                    const int32_t* sao_off,
                                    const int32_t* intra8,
                                    const int32_t* imodes4,
-                                   const int32_t* part8) {
+                                   const int32_t* part8,
+                                   const int32_t* qp_map) {
   BitWriter bw;
   Cabac cab(bw, qp, is_b ? kInitB : kInitP);
   int nx = (pad_w + 63) / 64, ny = (pad_h + 63) / 64;
@@ -1268,10 +1299,13 @@ extern "C" int hevc_encode_slice_p(const int32_t* depth8,
                std::vector<uint8_t>((size_t)(pad_w / 8) * (pad_h / 8), 0),
                is_b != 0, ref8, n_refs < 1 ? 1 : n_refs, poc, ref_pocs,
                intra8, imodes4, part8};
+  se.qp_map = qp_map;
+  se.qp_prev = qp;
   SaoParams sao{sao_type, sao_eo, sao_band, sao_off, n_ctu};
   for (int ci = 0; ci < n_ctu; ++ci) {
     int cy = ci / nx, cx = ci % nx;
     if (sao.valid()) code_sao_ctu(cab, sao, ci, cx, cy, nx);
+    se.dqp_pending = qp_map != nullptr;
     se.coding_quadtree(cx * 64, cy * 64, 64, 0);
     cab.terminate(ci == n_ctu - 1 ? 1 : 0);
   }

@@ -110,7 +110,9 @@ def rd_quantize(coef, qp: int, lam, *, is_intra=True, bit_depth=8,
     lo = jnp.maximum(hi - 1, 0)
 
     al = jnp.float32(alpha(n, bit_depth))
-    lam = jnp.float32(lam * LAMBDA_SCALE)
+    lam = jnp.asarray(lam, jnp.float32) * jnp.float32(LAMBDA_SCALE)
+    if lam.ndim:                # per-block lambda (LCU rate control)
+        lam = lam.reshape(lam.shape + (1,) * (a.ndim - lam.ndim))
 
     def cost(lv):
         deq = quant.dequantize(lv, qp, bit_depth=bit_depth)

@@ -49,9 +49,12 @@ class FrameParallelAI:
             # the Pallas mega-kernel needs real Mosaic (hardware); the
             # XLA wavefront is the portable path. RDOQ "trellis" is not
             # implemented in the kernel -> stay on XLA then.
-            import jax as _jax
             from ..ops import rdoq as _rdoq
-            on_tpu = _jax.default_backend() == "tpu"
+            from ..pipeline import recon_pallas as _rp
+            # effective default device, not default_backend(): a TPU
+            # plugin can register while the session computes on a
+            # pinned CPU backend (test conftest)
+            on_tpu = not _rp._use_interpret()
             recon_backend = ("pallas" if on_tpu
                              and _rdoq.RDOQ_MODEL == "lite" else "ctu")
         self.recon_backend = recon_backend
@@ -400,3 +403,213 @@ class FrameParallelAI:
         return chunks, recons, {"device_s": t1 - t0,
                                 "transfer_s": t2 - t1,
                                 "entropy_s": t3 - t2}
+
+
+class ChainParallelLDP:
+    """GOP-chain pipeline parallelism for Low-Delay-P (SURVEY.md 7.3).
+
+    With a periodic IDR every `intra_period` frames the sequence splits
+    into independent prediction chains. Chains ride the mesh 'data'
+    axis: ONE vmapped program per lockstep position encodes frame i of
+    every chain (pre-encode, ETH-LSTM HCPM with the resident state
+    sharded chain-major, HCPM-gated quadtree psearch), frames stay
+    sequential inside a chain (the inter reconstruction dependency),
+    and per-chain entropy/loop-filter host work drains in chain order.
+    The output stream is the byte-exact concatenation of the per-chain
+    LDPEncoder streams (tests/test_frame_parallel.py).
+
+    The reference encodes strictly sequentially (single-threaded HM,
+    SURVEY.md 2.4); this is the TPU-native scale-out of its LDP
+    operating point: throughput scales with chains/devices at equal
+    output bytes.
+    """
+
+    def __init__(self, cfg: headers.EncoderConfig, mesh,
+                 cnn_params=None, lstm_params=None, thresholds=None,
+                 rect_pu: bool = True, use_gop_qp: bool = True):
+        import dataclasses
+        from ..pipeline.pframe import LDPEncoder
+
+        if cfg.pad_width % 64 or cfg.pad_height % 64:
+            cfg = dataclasses.replace(cfg, pad_align=64)
+        self.cfg = cfg
+        self.mesh = mesh
+        self._sharding = NamedSharding(mesh, P("data"))
+        self._replicated = NamedSharding(mesh, P())
+        # one LDPEncoder supplies the per-frame host logic (frame QP
+        # schedule, slice NALs, intra head path) so the lockstep
+        # encoder cannot drift from the sequential semantics
+        self._enc = LDPEncoder(cfg, cnn_params=cnn_params,
+                               lstm_params=lstm_params,
+                               thresholds=thresholds, rect_pu=rect_pu,
+                               use_gop_qp=use_gop_qp)
+        self.lstm_params = lstm_params
+        self._head = None
+        if not (cfg.deblock or cfg.sao) and cnn_params is None:
+            # batched multi-device intra heads (byte-identical to the
+            # AIEncoder path); loop-filtered/gated cfgs take the
+            # sequential head path below
+            self._head = FrameParallelAI(cfg, mesh)
+        self._psearch_jit = {}
+
+    # -- device programs --------------------------------------------------
+
+    def _search_chains(self, gated: bool):
+        """Jitted chain-vmapped psearch (frame QP traced, shared)."""
+        import functools
+        from ..pipeline import psearch as psearch_mod
+        key = gated
+        if key not in self._psearch_jit:
+            cfg = self.cfg
+            kw = dict(pad_w=cfg.pad_width, pad_h=cfg.pad_height,
+                      use_rdoq=cfg.rdoq, rect_pu=self._enc.rect_pu,
+                      qp_set=self._enc._qp_set())
+            if gated:
+                thr = self._enc.predictor.thr
+                kw.update(thr_up=thr.up, thr_down=thr.down)
+            fn = functools.partial(psearch_mod.p_search_frame, **kw)
+            in_hcpm = 0 if gated else None
+            self._psearch_jit[key] = jax.jit(jax.vmap(
+                lambda cy, cb, cr, ry, rcb, rcr, org, qp, hc, na: fn(
+                    cy, cb, cr, ry, rcb, rcr, org, qp=qp,
+                    hcpm_probs=hc, n_active_refs=na),
+                in_axes=(0, 0, 0, 0, 0, 0, None, None, in_hcpm, None)))
+        return self._psearch_jit[key]
+
+    # -- encode -----------------------------------------------------------
+
+    def encode(self, frames, intra_period: int,
+               with_hash_sei: bool = False):
+        """Returns (stream, per-chain recon lists flattened in display
+        order). len(frames) is padded up to a chain multiple by
+        repeating the last frame; padded outputs are dropped."""
+        import functools
+        from ..core.yuv import Frame, crop_frame
+        from ..entropy import headers as hdr
+        from ..models import eth_lstm
+        from ..pipeline import golden, ldp as ldp_mod
+        from ..pipeline import search as search_lib
+
+        cfg = self.cfg
+        enc = self._enc
+        L = intra_period
+        F = len(frames)
+        C = -(-F // L)
+        frames = list(frames) + [frames[-1]] * (C * L - F)
+        chains = [frames[c * L:(c + 1) * L] for c in range(C)]
+        W, H = cfg.pad_width, cfg.pad_height
+        origins = jnp.asarray(search_lib.ctu_grid(W, H))
+        B = origins.shape[0]
+
+        # --- chain heads (intra, poc 0 of each chain) --------------------
+        head_frames = [ch[0] for ch in chains]
+        chain_chunks = [[] for _ in range(C)]
+        dpb = []                                  # per chain, newest first
+        if self._head is not None:
+            hchunks, hrecons, _ = self._head.encode_batch(head_frames)
+            for c in range(C):
+                chain_chunks[c].append(hchunks[c])
+                dpb.append([hrecons[c]])
+        else:
+            for c in range(C):
+                pf = pad_frame(head_frames[c], W, H)
+                d8, m8, m4, nxn = enc.intra.decide_frame_full(
+                    pf.y, cfg.qp, pf.cb, pf.cr)
+                decisions, rec = enc.intra.reconstruct(
+                    pf, d8, m8, cfg.qp, modes4=m4, nxn8=nxn)
+                chain_chunks[c].append(
+                    enc.intra._entropy_encode(decisions, cfg.qp))
+                dpb.append([rec])
+
+        # --- resident LSTM state, sharded chain-major --------------------
+        state = None
+        if enc.predictor is not None:
+            state = jax.device_put(
+                np.asarray(eth_lstm.zero_state(C * B)), self._sharding)
+
+        pre_v = jax.jit(jax.vmap(functools.partial(
+            ldp_mod.pre_encode, pad_w=W, pad_h=H)))
+
+        # --- lockstep P steps -------------------------------------------
+        padded = [[dpb[c][0]] for c in range(C)]   # per-chain, display order
+        recons = [[crop_frame(dpb[c][0], cfg.width, cfg.height)]
+                  for c in range(C)]
+        for i in range(1, L):
+            frame_qp = enc._frame_qp(i)
+            n_act = min(i, cfg.num_refs)
+            pfs = [pad_frame(chains[c][i], W, H) for c in range(C)]
+            cur_y = jax.device_put(
+                np.stack([p.y for p in pfs]).astype(np.int32),
+                self._sharding)
+            cur_cb = jax.device_put(
+                np.stack([p.cb for p in pfs]).astype(np.int32),
+                self._sharding)
+            cur_cr = jax.device_put(
+                np.stack([p.cr for p in pfs]).astype(np.int32),
+                self._sharding)
+
+            def ref_stack(get):
+                a = np.stack([
+                    np.stack([get(r) for r in
+                              (dpb[c] + [dpb[c][-1]] * cfg.num_refs)
+                              [:cfg.num_refs]])
+                    for c in range(C)]).astype(np.int32)
+                return jax.device_put(a, self._sharding)
+
+            ref_y = ref_stack(lambda r: r.y)
+            ref_cb = ref_stack(lambda r: r.cb)
+            ref_cr = ref_stack(lambda r: r.cr)
+
+            hcpm = None
+            if enc.predictor is not None:
+                prev_y = jax.device_put(
+                    np.stack([np.asarray(dpb[c][0].y) for c in range(C)
+                              ]).astype(np.int32), self._sharding)
+                prev_cb = jax.device_put(
+                    np.stack([np.asarray(dpb[c][0].cb) for c in range(C)
+                              ]).astype(np.int32), self._sharding)
+                prev_cr = jax.device_put(
+                    np.stack([np.asarray(dpb[c][0].cr) for c in range(C)
+                              ]).astype(np.int32), self._sharding)
+                ry, _, _, _ = pre_v(cur_y, prev_y, cur_cb, prev_cb,
+                                    cur_cr, prev_cr)
+                resi = ry.reshape(C * B, 64, 64)
+                qp_in = jnp.full((C * B,), float(cfg.qp), jnp.float32)
+                fig = jnp.full((C * B,), i % eth_lstm.GOP_LENGTH,
+                               jnp.int32)
+                thr = enc.predictor.thr
+                probs, state = eth_lstm.step_jit(
+                    enc.predictor.params, resi, qp_in, fig, state,
+                    thr.l1_lower, thr.l2_lower)
+                hcpm = probs.reshape(C, B, 21)
+
+            res = self._search_chains(hcpm is not None)(
+                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, origins,
+                jnp.int32(frame_qp), hcpm, jnp.int32(n_act))
+
+            # --- per-chain host drain (entropy, loop filters) ------------
+            for c in range(C):
+                one = type(res)(*[np.asarray(x[c]) for x in res])
+                rec, chunk = enc.finish_p_frame(
+                    pfs[c], one, i, frame_qp, n_act)
+                chain_chunks[c].append(chunk)
+                dpb[c].insert(0, rec)
+                del dpb[c][max(cfg.num_refs, 1):]
+                padded[c].append(rec)
+                recons[c].append(crop_frame(rec, cfg.width, cfg.height))
+
+        out = [hdr.write_vps(cfg), hdr.write_sps(cfg), hdr.write_pps(cfg)]
+        flat_recons = []
+        kept = 0
+        for c in range(C):
+            for i in range(L):
+                if kept >= F:
+                    break
+                out.append(chain_chunks[c][i])
+                if with_hash_sei:
+                    tid, hs = golden.pic_hashes(padded[c][i],
+                                                cfg.hash_type)
+                    out.append(hdr.write_hash_sei(*hs, hash_type=tid))
+                flat_recons.append(recons[c][i])
+                kept += 1
+        return b"".join(out), flat_recons

@@ -241,6 +241,9 @@ def entropy_encode_slice(cfg, decisions, qp=None) -> bytes:
     modes4 = decisions.get("modes4")
     nxn8 = decisions.get("nxn8")
     try:
+        if getattr(cfg, "cu_qp_delta", False):
+            # native coder has no cu_qp_delta syntax yet -> Python CABAC
+            raise NotImplementedError("cu_qp_delta: python path")
         from .. import native
         data = native.encode_slice_data(
             decisions["depth8"], decisions["modes8"],

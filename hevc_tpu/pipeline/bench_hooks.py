@@ -109,6 +109,81 @@ def measure_hm_baseline(n_frames=2, force=False, timeout=3600):
     return result
 
 
+def load_trained_lstm(qp=32):
+    from ..train.train_cnn import band_for_qp, load_params
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "models",
+                        f"eth_lstm_{band_for_qp(qp)}.npz")
+    if not os.path.exists(path):
+        return None
+    return load_params(path)
+
+
+def measure_hm_ldp_baseline(n_frames=4, force=False, timeout=7200):
+    """HM low-delay-P seconds/frame at 1080p QP32 on this host (cached;
+    offline only — bench.py never runs HM)."""
+    path = os.path.abspath(HM_BASELINE_CACHE)
+    base = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            base = json.load(f)
+    if "hm_seconds_per_frame_1080p_ldp_qp32" in base and not force:
+        return base
+    from ..evaltools.hm import ENCODER
+    from ..core.yuv import write_yuv420
+    from ..train.labels import hm_ldp_cfg
+    import tempfile
+    frames = synth_1080p_structured(n_frames)
+    with tempfile.TemporaryDirectory() as td:
+        write_yuv420(os.path.join(td, "in.yuv"), frames)
+        with open(os.path.join(td, "enc.cfg"), "w") as f:
+            f.write(hm_ldp_cfg(1920, 1080, 32, n_frames))
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [ENCODER, "-c", "enc.cfg", "-i", "in.yuv", "-b", "str.bin"],
+            cwd=td, capture_output=True, text=True, timeout=timeout)
+        dt = time.perf_counter() - t0
+        assert proc.returncode == 0, proc.stderr
+    base["hm_seconds_per_frame_1080p_ldp_qp32"] = dt / n_frames
+    base["ldp_n_frames"] = n_frames
+    with open(path, "w") as f:
+        json.dump(base, f)
+    return base
+
+
+def bench_encode_ldp_1080p(n_frames=16, warm=3):
+    """Low-Delay-P 1080p TPU throughput: the full gated chain
+    (pre-encode vs prev recon -> ETH-CNN+LSTM HCPM -> HCPM-gated
+    quadtree psearch+coding -> host CABAC), sequential per frame as the
+    inter dependency demands. Returns a bench sub-dict."""
+    from ..entropy import headers
+    from ..pipeline.pframe import LDPEncoder
+
+    cfg = headers.EncoderConfig(width=1920, height=1080, qp=32,
+                                num_refs=4)
+    lstm = load_trained_lstm(cfg.qp)
+    enc = LDPEncoder(cfg, lstm_params=lstm)
+    frames = synth_1080p_structured(n_frames)
+    enc.encode(frames[:warm], with_hash_sei=False)   # compile
+    t0 = time.perf_counter()
+    stream, _ = enc.encode(frames, with_hash_sei=False)[:2]
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    try:
+        hm_spf = read_hm_baseline()[
+            "hm_seconds_per_frame_1080p_ldp_qp32"]
+        vs = fps * hm_spf
+    except Exception:
+        vs = -1.0
+    return {
+        "metric": "ldp_encode_1080p",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(vs, 2),
+        "gated": lstm is not None,
+        "stream_bytes": len(stream),
+    }
+
+
 def bench_encode_1080p(n_frames=48, chunk=24, decide_chunk=4):
     """Full-pipeline AI 1080p benchmark; returns the bench.py JSON dict.
 

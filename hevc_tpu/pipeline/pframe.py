@@ -197,24 +197,35 @@ class LDPEncoder:
                     encode_p_frame_device, qp=frame_qp,
                     pad_w=cfg.pad_width, pad_h=cfg.pad_height))
             return self._p_jit[key]
+        per_ctu = isinstance(frame_qp, np.ndarray)
         qp_set = self._qp_set()
-        if frame_qp not in qp_set:       # rate control outside the set
+        if per_ctu:
+            qp_set = tuple(sorted(set(qp_set)
+                                  | set(getattr(self, "rc_qp_window",
+                                                ()))))
+        elif frame_qp not in qp_set:     # rate control outside the set
             qp_set = tuple(sorted(set(qp_set) | {frame_qp}))
             self.extra_qps = tuple(sorted(
                 set(getattr(self, "extra_qps", ())) | {frame_qp}))
-        key = (qp_set, gated, max_depth)
+        key = (qp_set, gated, max_depth, per_ctu)
         if key not in self._p_jit:
             thr = (self.predictor.thr if (gated and self.predictor)
                    else None)
             kw = dict(pad_w=cfg.pad_width, pad_h=cfg.pad_height,
                       use_rdoq=cfg.rdoq, max_depth=max_depth,
                       rect_pu=self.rect_pu, qp_set=qp_set)
+            if per_ctu:
+                # intra-in-P re-codes on host at the slice QP, which
+                # would desync per-CTB dequant -> off under LCU RC
+                kw.update(intra_in_p=False)
             if thr is not None:
                 kw.update(thr_up=thr.up, thr_down=thr.down)
             self._p_jit[key] = jax.jit(functools.partial(
                 self._psearch, **kw))
         fn = self._p_jit[key]
-        return functools.partial(fn, qp=jnp.int32(frame_qp))
+        qp_arg = (jnp.asarray(frame_qp, jnp.int32) if per_ctu
+                  else jnp.int32(frame_qp))
+        return functools.partial(fn, qp=qp_arg)
 
     def encode(self, frames, with_hash_sei: bool = True,
                rate_control=None, collect=None):
@@ -259,9 +270,16 @@ class LDPEncoder:
             else:
                 prev = dpb[0]
                 n_act = min(poc, cfg.num_refs)
+                lcu_rc = (rate_control is not None
+                          and hasattr(rate_control, "pre_frame_lcu"))
+                if lcu_rc:
+                    assert cfg.cu_qp_delta, \
+                        "LCU rate control needs cfg.cu_qp_delta"
+                    self.rc_qp_window = rate_control.qp_window
                 hcpm = None
                 ry = None
-                if self.predictor is not None or collect is not None:
+                if (self.predictor is not None or collect is not None
+                        or lcu_rc):
                     # pre-encode always vs the previous reconstruction
                     # (reference Resi_Pre behavior)
                     ry, _, _, _ = self._pre_jit(
@@ -270,6 +288,16 @@ class LDPEncoder:
                         pf.cr.astype(np.int32), prev.cr.astype(np.int32))
                 if self.predictor is not None:
                     hcpm = self.predictor.step(ry, poc)
+                qp_map = None
+                search_qp = frame_qp
+                if lcu_rc:
+                    # per-LCU bit allocation weighted by the pre-encode
+                    # residue MAD (TEncRCPic::getLCUTargetBpp analogue)
+                    mad = np.asarray(
+                        jnp.abs(jnp.asarray(ry, jnp.int32) - 128)
+                        .mean(axis=(1, 2)))
+                    search_qp = rate_control.pre_frame_lcu(mad, frame_qp)
+                    qp_map = search_qp.reshape(cfg.ctus_y, cfg.ctus_x)
                 # static-shape ref stacks (newest first): pad by
                 # repeating the oldest; psearch masks the invalid tail
                 rl = (dpb + [dpb[-1]] * cfg.num_refs)[:cfg.num_refs]
@@ -280,23 +308,12 @@ class LDPEncoder:
                 if self.max_depth_exit and hcpm is not None:
                     md = _gate_max_depth(hcpm, self.predictor.thr,
                                          cfg.pad_width, cfg.pad_height)
-                res = self._search_fn(frame_qp, hcpm is not None, md)(
+                res = self._search_fn(search_qp, hcpm is not None, md)(
                     pf.y.astype(np.int32), pf.cb.astype(np.int32),
                     pf.cr.astype(np.int32),
                     ref_y, ref_cb, ref_cr, origins,
                     hcpm_probs=hcpm,
                     n_active_refs=jnp.int32(n_act))
-                coef_y = ldp_mod.tiles_to_plane(res.coef_y, W, H, 64)
-                coef_cb = ldp_mod.tiles_to_plane(res.coef_cb, W // 2,
-                                                 H // 2, 32)
-                coef_cr = ldp_mod.tiles_to_plane(res.coef_cr, W // 2,
-                                                 H // 2, 32)
-                rec = Frame(
-                    ldp_mod.tiles_to_plane(res.rec_y, W, H, 64),
-                    ldp_mod.tiles_to_plane(res.rec_cb, W // 2, H // 2, 32),
-                    ldp_mod.tiles_to_plane(res.rec_cr, W // 2, H // 2, 32))
-                depth8 = ldp_mod.tiles_to_plane(res.depth8, W // 8,
-                                                H // 8, 8)
                 if collect is not None:
                     # depth per 16x16 unit: within one unit all 8x8 depths
                     # agree (8x8 CUs only exist at depth 3), so ::2 strides
@@ -306,67 +323,9 @@ class LDPEncoder:
                         .astype(np.uint8),
                         "resi": np.asarray(ry).astype(np.uint8),
                     })
-                mvx = ldp_mod.tiles_to_plane(res.mv8[..., 0], W // 8,
-                                             H // 8, 8)
-                mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8,
-                                             H // 8, 8)
-                mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
-                ref8 = ldp_mod.tiles_to_plane(res.ref8, W // 8,
-                                              H // 8, 8).astype(np.int32)
-                intra8 = ldp_mod.tiles_to_plane(
-                    res.intra8, W // 8, H // 8, 8).astype(bool)
-                imode8 = ldp_mod.tiles_to_plane(
-                    res.imode8, W // 8, H // 8, 8).astype(np.int32)
-                part8 = ldp_mod.tiles_to_plane(
-                    res.part8, W // 8, H // 8, 8).astype(np.int32)
-                if not part8.any():
-                    part8 = None
-                if intra8.any():
-                    # normative re-code of intra CUs from reconstructed
-                    # neighbours, patching recon + coef planes in z-order
-                    from . import intra_p
-                    ry_p = np.asarray(rec.y, np.int32)
-                    rcb_p = np.asarray(rec.cb, np.int32)
-                    rcr_p = np.asarray(rec.cr, np.int32)
-                    coef_y = np.asarray(coef_y, np.int32)
-                    coef_cb = np.asarray(coef_cb, np.int32)
-                    coef_cr = np.asarray(coef_cr, np.int32)
-                    intra_p.patch_intra_cus(
-                        pf.y, pf.cb, pf.cr, ry_p, rcb_p, rcr_p,
-                        coef_y, coef_cb, coef_cr,
-                        np.asarray(depth8), intra8, imode8, frame_qp,
-                        W, H, rdoq=cfg.rdoq)
-                    rec = Frame(ry_p.astype(np.uint8),
-                                rcb_p.astype(np.uint8),
-                                rcr_p.astype(np.uint8))
-                else:
-                    intra8 = None
-                sao_params = None
-                if cfg.deblock or cfg.sao:
-                    yy, cb_, cr_ = rec.y, rec.cb, rec.cr
-                    if cfg.deblock:
-                        from ..ops import deblock as dbk
-                        yy, cb_, cr_ = dbk.deblock_frame_inter(
-                            yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp,
-                            ref8=ref8, intra8=intra8, part8=part8)
-                    if cfg.sao:
-                        from ..ops import sao as sao_lib
-                        sao_params = sao_lib.estimate_frame(
-                            pf.y, pf.cb, pf.cr, yy, cb_, cr_, frame_qp)
-                        yy, cb_, cr_ = sao_lib.apply_frame(yy, cb_, cr_,
-                                                           sao_params)
-                    rec = Frame(np.asarray(yy).astype(np.uint8),
-                                np.asarray(cb_).astype(np.uint8),
-                                np.asarray(cr_).astype(np.uint8))
-
-                bw = (headers.start_b_slice(cfg, frame_qp, poc, n_act)
-                      if self.slice_mode == "B"
-                      else headers.start_p_slice(cfg, frame_qp, poc,
-                                                 n_act))
-                chunks.append(self._p_slice_nal(
-                    bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
-                    sao_params, ref8=ref8, n_refs=n_act, poc=poc,
-                    intra8=intra8, imode8=imode8, part8=part8))
+                rec, chunk = self.finish_p_frame(pf, res, poc, frame_qp,
+                                                 n_act, qp_map=qp_map)
+                chunks.append(chunk)
             if rate_control:
                 rate_control.post_frame(
                     8 * sum(len(c) for c in chunks[n_chunks0:]))
@@ -380,15 +339,99 @@ class LDPEncoder:
             del dpb[max(self.cfg.num_refs, 1):]
         return b"".join(chunks), recons
 
+    def finish_p_frame(self, pf, res, poc, frame_qp, n_act, qp_map=None):
+        """Host finish of one searched P frame: tile->plane assembly,
+        intra-in-P normative re-code, loop filters, slice NAL. Returns
+        (padded reconstruction Frame, NAL bytes). Shared by the
+        sequential encoder above and parallel.frames.ChainParallelLDP
+        so the lockstep path cannot drift."""
+        from ..core.yuv import Frame
+        from ..entropy import headers
+        from . import ldp as ldp_mod
+
+        cfg = self.cfg
+        W, H = cfg.pad_width, cfg.pad_height
+        coef_y = ldp_mod.tiles_to_plane(res.coef_y, W, H, 64)
+        coef_cb = ldp_mod.tiles_to_plane(res.coef_cb, W // 2, H // 2, 32)
+        coef_cr = ldp_mod.tiles_to_plane(res.coef_cr, W // 2, H // 2, 32)
+        rec = Frame(
+            ldp_mod.tiles_to_plane(res.rec_y, W, H, 64),
+            ldp_mod.tiles_to_plane(res.rec_cb, W // 2, H // 2, 32),
+            ldp_mod.tiles_to_plane(res.rec_cr, W // 2, H // 2, 32))
+        depth8 = ldp_mod.tiles_to_plane(res.depth8, W // 8, H // 8, 8)
+        mvx = ldp_mod.tiles_to_plane(res.mv8[..., 0], W // 8, H // 8, 8)
+        mvy = ldp_mod.tiles_to_plane(res.mv8[..., 1], W // 8, H // 8, 8)
+        mvq8 = np.stack([mvx, mvy], -1).astype(np.int32)
+        ref8 = ldp_mod.tiles_to_plane(res.ref8, W // 8,
+                                      H // 8, 8).astype(np.int32)
+        intra8 = ldp_mod.tiles_to_plane(
+            res.intra8, W // 8, H // 8, 8).astype(bool)
+        imode8 = ldp_mod.tiles_to_plane(
+            res.imode8, W // 8, H // 8, 8).astype(np.int32)
+        part8 = ldp_mod.tiles_to_plane(
+            res.part8, W // 8, H // 8, 8).astype(np.int32)
+        if not part8.any():
+            part8 = None
+        if intra8.any():
+            # normative re-code of intra CUs from reconstructed
+            # neighbours, patching recon + coef planes in z-order
+            from . import intra_p
+            ry_p = np.asarray(rec.y, np.int32)
+            rcb_p = np.asarray(rec.cb, np.int32)
+            rcr_p = np.asarray(rec.cr, np.int32)
+            coef_y = np.asarray(coef_y, np.int32)
+            coef_cb = np.asarray(coef_cb, np.int32)
+            coef_cr = np.asarray(coef_cr, np.int32)
+            intra_p.patch_intra_cus(
+                pf.y, pf.cb, pf.cr, ry_p, rcb_p, rcr_p,
+                coef_y, coef_cb, coef_cr,
+                np.asarray(depth8), intra8, imode8, frame_qp,
+                W, H, rdoq=cfg.rdoq)
+            rec = Frame(ry_p.astype(np.uint8), rcb_p.astype(np.uint8),
+                        rcr_p.astype(np.uint8))
+        else:
+            intra8 = None
+        sao_params = None
+        if cfg.deblock or cfg.sao:
+            yy, cb_, cr_ = rec.y, rec.cb, rec.cr
+            if cfg.deblock:
+                from ..ops import deblock as dbk
+                yy, cb_, cr_ = dbk.deblock_frame_inter(
+                    yy, cb_, cr_, depth8, mvq8, coef_y, frame_qp,
+                    ref8=ref8, intra8=intra8, part8=part8)
+            if cfg.sao:
+                from ..ops import sao as sao_lib
+                sao_params = sao_lib.estimate_frame(
+                    pf.y, pf.cb, pf.cr, yy, cb_, cr_, frame_qp)
+                yy, cb_, cr_ = sao_lib.apply_frame(yy, cb_, cr_,
+                                                   sao_params)
+            rec = Frame(np.asarray(yy).astype(np.uint8),
+                        np.asarray(cb_).astype(np.uint8),
+                        np.asarray(cr_).astype(np.uint8))
+
+        bw = (headers.start_b_slice(cfg, frame_qp, poc, n_act)
+              if self.slice_mode == "B"
+              else headers.start_p_slice(cfg, frame_qp, poc, n_act))
+        chunk = self._p_slice_nal(
+            bw, depth8, mvq8, coef_y, coef_cb, coef_cr, frame_qp,
+            sao_params, ref8=ref8, n_refs=n_act, poc=poc,
+            intra8=intra8, imode8=imode8, part8=part8, qp_map=qp_map)
+        return rec, chunk
+
     def _p_slice_nal(self, bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                      frame_qp, sao_params=None, ref8=None, n_refs=1,
-                     poc=1, intra8=None, imode8=None, part8=None):
+                     poc=1, intra8=None, imode8=None, part8=None,
+                     qp_map=None):
         """P slice data: native C++ CABAC (SAO + multi-ref + intra-in-P
         + rect-PU capable), Python PSliceEncoder fallback —
         byte-identical paths (tests/test_native_entropy.py)."""
         from ..entropy import headers
         from ..entropy.slice_enc_p import PSliceEncoder
         cfg = self.cfg
+        if qp_map is None and getattr(cfg, "cu_qp_delta", False):
+            # PPS flag without an RC map: uniform map -> delta-0 syntax
+            qp_map = np.full((cfg.ctus_y, cfg.ctus_x), frame_qp,
+                             np.int32)
         try:
             from .. import native
             data = native.encode_slice_data_p(
@@ -396,9 +439,12 @@ class LDPEncoder:
                 cfg.pad_width, cfg.pad_height, frame_qp,
                 is_b=self.slice_mode == "B", ref8=ref8,
                 n_refs=n_refs, poc=poc, sao=sao_params,
-                intra8=intra8, imode8=imode8, part8=part8)
+                intra8=intra8, imode8=imode8, part8=part8,
+                qp_map=qp_map)
             from ..entropy.bitstream import nal_unit, NAL_TRAIL_R
             return nal_unit(NAL_TRAIL_R, bw.get_bytes() + data)
+        except NotImplementedError:
+            pass                 # deliberate Python-path toolsets
         except Exception:
             import logging
             logging.getLogger(__name__).warning(
@@ -408,7 +454,7 @@ class LDPEncoder:
                             n_refs=n_refs, poc=poc)
         pse.encode(bw, depth8, mvq8, coef_y, coef_cb, coef_cr,
                    sao=sao_params, ref8=ref8, intra8=intra8,
-                   imode8=imode8, part8=part8)
+                   imode8=imode8, part8=part8, qp_map=qp_map)
         return headers.finish_p_slice_nal(bw)
 
     def _encode_flat(self, pf, prev, poc, frame_qp):

@@ -89,6 +89,9 @@ def _tu_transform(blocks, qp, tu: int, lam, use_rdoq: bool,
     g = s // tu
     t = blocks.reshape(N, g, tu, g, tu).transpose(0, 1, 3, 2, 4)
     t = t.reshape(N * g * g, tu, tu)
+    if jnp.ndim(qp) == 1:        # per-node QP -> per-TU expansion
+        qp = jnp.repeat(qp, g * g)
+        lam = jnp.repeat(lam, g * g)
     cf = transforms.forward_transform(t)
     if use_rdoq:
         lvl = rdoq_lib.rd_quantize(cf, qp, lam, is_intra=False,
@@ -194,6 +197,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
     # dynamic (traced) active-ref count: one compiled program serves the
     # whole sequence ramp-up (1, 2, .., num_refs active references)
     n_act = jnp.minimum(jnp.asarray(n_active_refs, jnp.int32), R)
+    per_ctu = False
     if quant.is_static_qp(qp):
         lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
         sqrt_lam = float(np.sqrt(lam))
@@ -205,11 +209,14 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                               / 3.0)
         sqrt_lam = jnp.sqrt(lam)
         assert qp_set is not None, "traced qp requires static qp_set"
+        per_ctu = jnp.ndim(qp) == 1   # [B] per-CTU QP (LCU rate control)
         # chroma TUs estimate bits at the chroma QP -> the stacked
         # tables must cover the chroma-mapped values too
         qp_set = tuple(sorted({int(q) for q in qp_set}
                               | {quant.chroma_qp(int(q))
                                  for q in qp_set}))
+        if per_ctu:
+            assert qp.shape[0] == B, (qp.shape, B)
     cqp = quant.chroma_qp(qp)
     tu_transform = functools.partial(_tu_transform, qp_set=qp_set)
     # ref_idx_l0 TU bin count per value (cMax = n_act - 1)
@@ -294,6 +301,16 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             lvl_cb_d[d] = rr_cb_d[d] = pred_cb_d[d] = zc
             lvl_cr_d[d] = rr_cr_d[d] = pred_cr_d[d] = zc
             continue
+        # per-CTU QP (LCU rate control): expand the CTU-indexed qp /
+        # lambda vectors to this depth's node batch ([B] -> [B*nd])
+        if per_ctu:
+            qp_d = jnp.repeat(qp, nd)
+            cqp_d = jnp.repeat(cqp, nd)
+            lam_d = jnp.repeat(lam, nd)
+            sl_me = jnp.repeat(sqrt_lam, nd)[None]     # [1, B*nd]
+        else:
+            qp_d, cqp_d, lam_d, sl_me = qp, cqp, lam, sqrt_lam
+
         sads = sad_by_depth[d].reshape(R, n_side * n_side, B * nd)
         best = jnp.argmin(sads, axis=1)                # [R, B*nd]
         sad_best = jnp.min(sads, axis=1).astype(jnp.float32)
@@ -302,7 +319,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                              -1).astype(jnp.int32)     # [R, B*nd, 2]
         # ref choice: SAD + sqrt(lambda) * (ref_idx bins + rough MV rate)
         mv_rate = (2.0 * jnp.log2(jnp.abs(mv_int_r).sum(-1) + 1.0) + 1.0)
-        ref_cost = sad_best + sqrt_lam * (ref_bits_tab[:, None] + mv_rate)
+        ref_cost = sad_best + sl_me * (ref_bits_tab[:, None] + mv_rate)
         ref_cost = jnp.where((ref_ids < n_act)[:, None], ref_cost,
                              jnp.float32(3.4e38))
         ref_sel = jnp.argmin(ref_cost, axis=0).astype(jnp.int32)  # [B*nd]
@@ -320,7 +337,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                           is_luma=True, ref_idx=ref_sel)
         resi = cur_blocks.astype(jnp.int32) - pred
         tu = min(s, 32)
-        lvl, rr, bits_y = tu_transform(resi, qp, tu, lam, use_rdoq)
+        lvl, rr, bits_y = tu_transform(resi, qp_d, tu, lam_d, use_rdoq)
         lvl_y_d[d], rr_y_d[d], pred_y_d[d] = lvl, rr, pred
 
         # chroma (4:2:0): node size s/2, TU = min(s, 32) / 2
@@ -334,9 +351,9 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                              ref_idx=ref_sel)
         resi_cb = _node_blocks(cur_cb_t, d).astype(jnp.int32) - pred_cb
         resi_cr = _node_blocks(cur_cr_t, d).astype(jnp.int32) - pred_cr
-        lvl_cb, rr_cb, bits_cb = tu_transform(resi_cb, cqp, ctu_c, lam,
+        lvl_cb, rr_cb, bits_cb = tu_transform(resi_cb, cqp_d, ctu_c, lam_d,
                                                use_rdoq, is_luma=False)
-        lvl_cr, rr_cr, bits_cr = tu_transform(resi_cr, cqp, ctu_c, lam,
+        lvl_cr, rr_cr, bits_cr = tu_transform(resi_cr, cqp_d, ctu_c, lam_d,
                                                use_rdoq, is_luma=False)
         lvl_cb_d[d], rr_cb_d[d], pred_cb_d[d] = lvl_cb, rr_cb, pred_cb
         lvl_cr_d[d], rr_cr_d[d], pred_cr_d[d] = lvl_cr, rr_cr, pred_cr
@@ -360,7 +377,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                        (B, nd, 2)).reshape(B * nd, 2)
         bits = (bits + _mvd_bits(mv_q, pred_mv) + 6.0   # flags overhead
                 + ref_bits_tab[ref_sel])                # ref_idx_l0 bins
-        amvp_cost = sse + lam * bits
+        amvp_cost = sse + lam_d * bits
 
         if merge_rd:
             # --- RD-searched merge/skip (xCheckRDCostMerge2Nx2N,
@@ -405,17 +422,17 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             sse_skip = jnp.where(pick_a, cands[1][5], cands[0][5])
 
             # SKIP: zero residual; rate ~ skip_flag + merge_idx bins
-            skip_cost = sse_skip + lam * 3.0
+            skip_cost = sse_skip + lam_d * 3.0
 
             # merge with residual: full coding at the candidate motion
             lvl_m, rr_m, mbits_y = tu_transform(
-                cur_blocks.astype(jnp.int32) - pm_y, qp, tu, lam, use_rdoq)
+                cur_blocks.astype(jnp.int32) - pm_y, qp_d, tu, lam_d, use_rdoq)
             lvl_mcb, rr_mcb, mbits_cb = tu_transform(
-                _node_blocks(cur_cb_t, d).astype(jnp.int32) - pm_cb, cqp,
-                ctu_c, lam, use_rdoq, is_luma=False)
+                _node_blocks(cur_cb_t, d).astype(jnp.int32) - pm_cb, cqp_d,
+                ctu_c, lam_d, use_rdoq, is_luma=False)
             lvl_mcr, rr_mcr, mbits_cr = tu_transform(
-                _node_blocks(cur_cr_t, d).astype(jnp.int32) - pm_cr, cqp,
-                ctu_c, lam, use_rdoq, is_luma=False)
+                _node_blocks(cur_cr_t, d).astype(jnp.int32) - pm_cr, cqp_d,
+                ctu_c, lam_d, use_rdoq, is_luma=False)
             rec_m = jnp.clip(pm_y + rr_m, 0, 255)
             dm = (rec_m - cur_blocks).astype(jnp.float32)
             sse_m = (dm * dm).sum((-2, -1))
@@ -425,8 +442,8 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
             dmr = (rec_mcr - _node_blocks(cur_cr_t, d)).astype(jnp.float32)
             sse_m = sse_m + (dmb * dmb).sum((-2, -1)) \
                 + (dmr * dmr).sum((-2, -1))
-            merge_cost = sse_m + lam * (mbits_y + mbits_cb + mbits_cr
-                                        + 5.0)
+            merge_cost = sse_m + lam_d * (mbits_y + mbits_cb + mbits_cr
+                                          + 5.0)
 
             # cheapest of {AMVP, merge+resid, skip}
             all_costs = jnp.stack([amvp_cost, merge_cost, skip_cost], 0)
@@ -495,7 +512,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                                        -1).astype(jnp.int32)
                     mv_rate_h = (2.0 * jnp.log2(
                         jnp.abs(mv_i_r).sum(-1) + 1.0) + 1.0)
-                    rc = sad_b + sqrt_lam * (ref_bits_tab[:, None]
+                    rc = sad_b + sl_me * (ref_bits_tab[:, None]
                                              + mv_rate_h)
                     rc = jnp.where((ref_ids < n_act)[:, None], rc,
                                    jnp.float32(3.4e38))
@@ -525,14 +542,14 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                 pr_cb = jnp.concatenate([pu[0][3], pu[1][3]], axis)
                 pr_cr = jnp.concatenate([pu[0][4], pu[1][4]], axis)
                 lvl_r, rr_r, rb_y = tu_transform(
-                    cur_blocks.astype(jnp.int32) - pr_y, qp, tu_r, lam,
+                    cur_blocks.astype(jnp.int32) - pr_y, qp_d, tu_r, lam_d,
                     use_rdoq)
                 lvl_rcb, rr_rcb, rb_cb = tu_transform(
                     _node_blocks(cur_cb_t, d).astype(jnp.int32) - pr_cb,
-                    cqp, ctu_r, lam, use_rdoq, is_luma=False)
+                    cqp_d, ctu_r, lam_d, use_rdoq, is_luma=False)
                 lvl_rcr, rr_rcr, rb_cr = tu_transform(
                     _node_blocks(cur_cr_t, d).astype(jnp.int32) - pr_cr,
-                    cqp, ctu_r, lam, use_rdoq, is_luma=False)
+                    cqp_d, ctu_r, lam_d, use_rdoq, is_luma=False)
                 rec_r = jnp.clip(pr_y + rr_r, 0, 255)
                 dr_ = (rec_r - cur_blocks).astype(jnp.float32)
                 sse_r = (dr_ * dr_).sum((-2, -1))
@@ -550,7 +567,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                 rbits = (rb_y + rb_cb + rb_cr + mvb + 10.0
                          + ref_bits_tab[pu[0][1]]
                          + ref_bits_tab[pu[1][1]])
-                rect[part] = (sse_r + lam * rbits, pu, pr_y, pr_cb,
+                rect[part] = (sse_r + lam_d * rbits, pu, pr_y, pr_cb,
                               pr_cr, lvl_r, rr_r, lvl_rcb, rr_rcb,
                               lvl_rcr, rr_rcr)
 
@@ -618,7 +635,7 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
                     dist_w, pad_w=pad_w, pad_h=pad_h, n_ctu_x=nx_ctu,
                     bits_qp=qp, qp_set=qp_set)
             # intra-in-P overhead: pred_mode + part + intra dir + cbfs
-            icost = (icost + lam * 11.5).reshape(-1)
+            icost = icost.reshape(-1) + lam_d * 11.5
             is_intra = icost < amvp_cost
             amvp_cost = jnp.minimum(icost, amvp_cost)
             intra_maps[d] = is_intra.reshape(B, n, n)
@@ -636,9 +653,10 @@ def p_search_frame(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr,
 
         cost_maps[d] = amvp_cost.reshape(B, nd)
 
+    sb = (lam * 2.0)[:, None, None] if per_ctu else lam * 2.0
     split0, split1, split2, depth8 = search_lib.decide_tree(
         cost_maps, ctu_origins, pad_w=pad_w, pad_h=pad_h,
-        split_bits=lam * 2.0, hcpm_probs=hcpm_probs, thr_up=thr_up,
+        split_bits=sb, hcpm_probs=hcpm_probs, thr_up=thr_up,
         thr_down=thr_down)
 
     # --- select final coding per 8x8 unit ---------------------------------

@@ -109,3 +109,68 @@ class RateController:
                 self.beta += self.beta_update * err * lnbpp
         self.alpha = min(max(self.alpha, ALPHA_MIN), ALPHA_MAX)
         self.beta = min(max(self.beta, BETA_MIN), BETA_MAX)
+
+
+class LCURateController(RateController):
+    """LCU-level R-lambda rate control (TEncRateCtrl.cpp:1402 LCU path
+    behavioral counterpart, batched TPU-style).
+
+    HM walks LCUs sequentially, allocating each LCU a share of the
+    picture's remaining bits weighted by the co-located LCU's predicted
+    MAD and re-deriving lambda/QP per LCU. Our encoder quantizes every
+    CTU in one device program, so the allocation is computed for ALL
+    LCUs up front from the forced-64x64 pre-encode residue MAD (the
+    same complexity signal, available before the search):
+
+        target_i = pic_target * MAD_i / sum(MAD)        (getLCUTargetBpp)
+        lambda_i = alpha * bpp_i ^ beta                  (R-lambda)
+        qp_i     = clip(4.2005 ln lambda_i + 13.7122,
+                        pic_qp - 2, pic_qp + 2)          (HM LCU clip)
+
+    The signalled per-CTB QPs ride cu_qp_delta syntax (PPS
+    diff_cu_qp_depth = 0); picture-level model updates are inherited
+    from RateController.
+    """
+
+    #: per-LCU QP swing around the picture QP (HM g_RCLCUSmoothWindow
+    #: era clip: +-2)
+    LCU_QP_CLIP = 2
+    #: picture-QP window around init_qp covered by one compiled search
+    #: program (the qp_set of the traced-QP psearch tables)
+    PIC_QP_WINDOW = 6
+
+    @property
+    def qp_window(self):
+        base = self.init_qp if hasattr(self, "init_qp") else self.last_qp
+        lo = max(self.min_qp, base - self.PIC_QP_WINDOW - self.LCU_QP_CLIP)
+        hi = min(self.max_qp, base + self.PIC_QP_WINDOW + self.LCU_QP_CLIP)
+        return tuple(range(lo, hi + 1))
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.init_qp = self.last_qp
+        # keep the picture QP inside the compiled-table window
+        self.min_qp = max(self.min_qp, self.init_qp - self.PIC_QP_WINDOW)
+        self.max_qp = min(self.max_qp, self.init_qp + self.PIC_QP_WINDOW)
+
+    def pre_frame_lcu(self, mad, pic_qp):
+        """Per-LCU QP map for the next picture. mad: [B] float pre-encode
+        residue MAD per CTU. Returns [B] int32 QPs (the picture's
+        target bits distributed MAD-proportionally)."""
+        import numpy as np
+        mad = np.maximum(np.asarray(mad, np.float64), 1e-3)
+        lam_pic, _ = self._pending
+        target_bits = max(self.bits_left / max(self.frames_left, 1),
+                          0.01 * self.pixels)
+        pix_per_lcu = self.pixels / mad.shape[0]
+        tgt = target_bits * mad / mad.sum()             # getLCUTargetBpp
+        bpp = np.maximum(tgt / pix_per_lcu, 1e-6)
+        lam = self.alpha * bpp ** self.beta
+        # HM clips the LCU lambda to the picture lambda * 2^(+-2/3)
+        lam = np.clip(lam, lam_pic * 2.0 ** (-2.0 / 3.0),
+                      lam_pic * 2.0 ** (2.0 / 3.0))
+        qp = np.round(4.2005 * np.log(lam) + 13.7122).astype(np.int32)
+        qp = np.clip(qp, pic_qp - self.LCU_QP_CLIP,
+                     pic_qp + self.LCU_QP_CLIP)
+        return np.clip(qp, self.min_qp - self.LCU_QP_CLIP,
+                       self.max_qp + self.LCU_QP_CLIP).astype(np.int32)

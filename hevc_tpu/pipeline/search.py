@@ -184,6 +184,9 @@ def _refined_costs(y_plane, ctu_origins, depth, modes, qp, lam, *,
                     ).astype(jnp.int32)
 
     resi = orig - pred
+    if jnp.ndim(qp) == 1:        # per-CTU QP -> per-TU-block expansion
+        qp = jnp.repeat(qp, nd * n_tu)
+        lam = jnp.repeat(lam, nd * n_tu)
     lvl = quant_lib.quantize(
         transforms.forward_transform(resi, use_dst=use_dst), qp)
     rresi = transforms.inverse_transform(quant_lib.dequantize(lvl, qp),
@@ -241,13 +244,19 @@ def _refined_chroma_costs(c_plane, ctu_origins, depth, modes, cqp, lam,
                     ).astype(jnp.int32)
 
     resi = orig - pred
+    bqp = cqp if bits_qp is None else bits_qp
+    if jnp.ndim(cqp) == 1:       # per-CTU QP -> per-TU-block expansion
+        cqp = jnp.repeat(cqp, nd * n_tu)
+        lam = jnp.repeat(lam, nd * n_tu)
+        dist_w = jnp.repeat(dist_w, nd * n_tu)
+        if jnp.ndim(bqp) == 1:
+            bqp = jnp.repeat(bqp, nd * n_tu)
     lvl = quant_lib.quantize(transforms.forward_transform(resi), cqp)
     rresi = transforms.inverse_transform(quant_lib.dequantize(lvl, cqp))
     rec = jnp.clip(pred + rresi, 0, 255)
     d = (rec - orig).astype(jnp.float32)
     sse = (d * d).sum((-2, -1))
-    bits = _bits_estimate(lvl, cqp if bits_qp is None else bits_qp,
-                          is_luma=False, qp_set=qp_set)
+    bits = _bits_estimate(lvl, bqp, is_luma=False, qp_set=qp_set)
     cost = dist_w * sse + lam * bits
     return cost.reshape(B, nd, n_tu).sum(-1)
 

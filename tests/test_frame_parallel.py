@@ -59,3 +59,44 @@ def test_chunked_pipeline_matches_batch():
     s_chunk, stats = penc.encode(frames, chunk=4)
     assert s_batch == s_chunk
     assert stats["entropy_s"] > 0
+
+
+def test_ldp_multi_device():
+    """ChainParallelLDP (GOP-chain pipeline parallelism over the 'data'
+    axis, resident LSTM state sharded chain-major) is byte-identical to
+    encoding each IDR-delimited chain with the sequential LDPEncoder."""
+    from hevc_tpu.entropy import headers as hdr
+    from hevc_tpu.models import eth_lstm
+    from hevc_tpu.pipeline.pframe import LDPEncoder
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32, num_refs=2)
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    frames = []
+    from hevc_tpu.core.yuv import Frame
+    for t in range(8):
+        y = np.roll(base, t, axis=1).copy()
+        y[20:36, 40:72] = rng.randint(0, 256, (16, 32))
+        cb = np.full((32, 64), 120, np.uint8)
+        frames.append(Frame(y, cb, cb.copy()))
+
+    import jax
+    lstm = eth_lstm.init_params(jax.random.PRNGKey(0))
+    L = 2
+    mesh = make_mesh(4, model_axis=1)
+    par = pframes.ChainParallelLDP(cfg, mesh, lstm_params=lstm)
+    pstream, precons = par.encode(frames, intra_period=L)
+
+    hdr_len = len(hdr.write_vps(cfg) + hdr.write_sps(cfg)
+                  + hdr.write_pps(cfg))
+    expected = pstream[:hdr_len]
+    erecons = []
+    for c in range(len(frames) // L):
+        enc = LDPEncoder(cfg, lstm_params=lstm)
+        s, r = enc.encode(frames[c * L:(c + 1) * L], with_hash_sei=False)
+        expected += s[hdr_len:]
+        erecons.extend(r)
+    assert pstream[:hdr_len] == s[:hdr_len]
+    assert pstream == expected
+    for i, (a, b) in enumerate(zip(precons, erecons)):
+        np.testing.assert_array_equal(a.y, b.y, err_msg=f"frame {i}")

@@ -378,3 +378,49 @@ def test_native_rect_pu_matches_python():
             d8, mv, cy_, cb_, cr_, W, H, 30, is_b=is_b, ref8=r8,
             n_refs=n_refs, poc=3, part8=p8)
         assert cb2 == py, (seed, is_b, n_refs, len(cb2), len(py))
+
+
+def test_native_dqp_matches_python():
+    """cu_qp_delta syntax: native C++ == Python PSliceEncoder byte-for-
+    byte on a per-CTB QP map with positive/negative/zero/large deltas
+    (incl. the EG0 suffix) and an uncoded (all-skip-ish zero-coef) CTB
+    inheriting qPY_PREV."""
+    from hevc_tpu.entropy.slice_enc_p import PSliceEncoder
+
+    rng = np.random.RandomState(4)
+    W, H = 256, 64          # 4 CTUs in a row
+    cfg = headers.EncoderConfig(width=W, height=H, qp=32,
+                                cu_qp_delta=True)
+    depth8 = np.zeros((H // 8, W // 8), np.int32)
+    mvq8 = np.zeros((H // 8, W // 8, 2), np.int32)
+    mvq8[..., 0] = 4        # non-zero motion so CUs aren't merge/skip
+    coef_y = np.zeros((H, W), np.int32)
+    # CTB 0: coefficients (delta +2); CTB 1: none (inherits); CTB 2:
+    # big negative delta (EG0 path); CTB 3: delta 0
+    for cx, nz in ((0, True), (1, False), (2, True), (3, True)):
+        if nz:
+            coef_y[8, cx * 64 + 5] = rng.randint(1, 9)
+    coef_c = np.zeros((H // 2, W // 2), np.int32)
+    qp_map = np.array([[34, 34, 26, 26]], np.int32)
+
+    bw = headers.start_p_slice(cfg, cfg.qp, 1)
+    hl = len(bw.get_bytes())
+    pse = PSliceEncoder(cfg, cfg.qp)
+    pse.encode(bw, depth8, mvq8, coef_y, coef_c, coef_c, qp_map=qp_map)
+    py_bytes = bw.get_bytes()[hl:]
+
+    c_bytes = native.encode_slice_data_p(
+        depth8, mvq8, coef_y, coef_c, coef_c, W, H, cfg.qp,
+        qp_map=qp_map)
+    assert c_bytes == py_bytes
+
+    # and the decoder round-trips the QP map (uncoded CTB 1 inherits 34)
+    from hevc_tpu.decoder import headers_dec, slice_dec
+
+    class _Sps:
+        pad_width, pad_height, ctus_x, ctus_y = W, H, 4, 1
+
+    dec = slice_dec.PSliceDecoder(_Sps, cfg.qp, False,
+                                  cu_qp_delta=True).decode(py_bytes)
+    np.testing.assert_array_equal(dec["qp_ctb"],
+                                  np.array([[34, 34, 26, 26]]))

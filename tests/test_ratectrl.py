@@ -56,3 +56,48 @@ def test_ai_rate_control_e2e(tmp_path):
     rcq, log, _ = hm_mod.decode_bytes(stream, str(tmp_path))
     assert rcq == 0, log
     assert "mismatch" not in log.lower(), log
+
+
+def test_lcu_rate_control_e2e():
+    """LCU-level rate control (TEncRateCtrl.cpp:1402 LCU path): per-CTB
+    QPs ride cu_qp_delta syntax, our decoder reproduces the encoder
+    reconstruction EXACTLY (per-CTB dequant), and the rate steers to
+    the target."""
+    from hevc_tpu.decoder.top import decode_annexb
+    from hevc_tpu.pipeline.pframe import LDPEncoder
+    from hevc_tpu.pipeline.ratectrl import LCURateController
+
+    n, fps = 6, 30.0
+    rng = np.random.RandomState(5)
+    from hevc_tpu.core.yuv import Frame
+    base = rng.randint(0, 256, (64, 128)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = np.roll(base, 2 * t, axis=1).copy()
+        # one busy CTU (high residue -> more bits under MAD weighting)
+        y[10:40, 10:50] = rng.randint(0, 256, (30, 40))
+        cb = np.full((32, 64), 124, np.uint8)
+        frames.append(Frame(y, cb, cb.copy()))
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32,
+                                cu_qp_delta=True, num_refs=1)
+    enc = LDPEncoder(cfg, use_gop_qp=False, rect_pu=False)
+    base_stream, _ = enc.encode(frames, with_hash_sei=False)
+    base_bps = 8 * len(base_stream) * fps / n
+
+    rc = LCURateController(base_bps * 0.6, fps, 128, 64, n_frames=n,
+                           init_qp=32)
+    enc2 = LDPEncoder(cfg, use_gop_qp=False, rect_pu=False)
+    stream, recons = enc2.encode(frames, with_hash_sei=False,
+                                 rate_control=rc)
+
+    res = decode_annexb(stream)
+    assert len(res.frames) == n
+    for i, (d, r) in enumerate(zip(res.frames, recons)):
+        np.testing.assert_array_equal(d.y, r.y, err_msg=f"y frame {i}")
+        np.testing.assert_array_equal(d.cb, r.cb, err_msg=f"cb frame {i}")
+        np.testing.assert_array_equal(d.cr, r.cr, err_msg=f"cr frame {i}")
+    rc_bps = 8 * len(stream) * fps / n
+    # rate steered toward the 0.6x target (IDR dominates a 6-frame clip;
+    # the P-frame rate is what the LCU model controls)
+    assert rc_bps < base_bps, (rc_bps, base_bps)

@@ -81,7 +81,7 @@ def encode_ai(frames, width, height, qp, gated, models_dir, early_exit):
 
 
 def encode_ldp(frames, width, height, qp, gated, models_dir,
-               early_exit=False):
+               early_exit=False, all_qps=None):
     from hevc_tpu.entropy.headers import EncoderConfig
     from hevc_tpu.pipeline.pframe import LDPEncoder
     from hevc_tpu.train.train_cnn import load_params, band_for_qp
@@ -91,17 +91,18 @@ def encode_ldp(frames, width, height, qp, gated, models_dir,
     if gated:
         p = os.path.join(models_dir, f"eth_lstm_{band_for_qp(qp)}.npz")
         lstm = load_params(p)
-    # Flat per-sequence QP (no GOP-4 offsets): each distinct frame QP
-    # keys its own multi-minute psearch compile, so the reference's
-    # 3/2/3/1 offsets would turn the 4-QP sweep into ~32 compiles and
-    # the harness never finishes (round-3 lesson). BD-rate compares RD
-    # curves, so the flat-QP operating points remain valid against the
-    # HM anchor (which keeps its shipped cfg).
-    # rect_pu off for the harness: gated and ungated compare on the same
-    # toolset either way, and the rect search roughly doubles the
-    # per-QP compile (the sweep compiles 8 programs back to back).
+    # Reference operating point: GOP-4 QP offsets AND rect PUs on.
+    # Frame QP is a traced argument of ONE compiled psearch program
+    # (round-5), so the offsets no longer key per-QP recompiles (the
+    # round-3/4 harness had to disable them).
     enc = LDPEncoder(cfg, lstm_params=lstm, max_depth_exit=early_exit,
-                     use_gop_qp=False, rect_pu=False)
+                     use_gop_qp=True, rect_pu=True)
+    if all_qps:
+        # one qp_set covering the WHOLE sweep -> the per-QP encoders
+        # share one compiled psearch (persistent-cache hit across them)
+        enc.extra_qps = tuple(sorted(
+            {min(51, q + o) for q in all_qps
+             for o in (0,) + tuple(cfg.gop_qp_offsets)}))
     enc.encode(frames[:2], with_hash_sei=False)      # compile outside timer
     t0 = time.perf_counter()
     stream, recons = enc.encode(frames, with_hash_sei=False)[:2]
@@ -214,10 +215,11 @@ def main():
         print("[LDP gated]", flush=True)
         ldp_g = sweep(frames, args.width, args.height, args.qps,
                       encode_ldp, gated=True, models_dir=args.models_dir,
-                      early_exit=args.early_exit)
+                      early_exit=args.early_exit, all_qps=tuple(args.qps))
         print("[LDP ungated]", flush=True)
         ldp_u = sweep(frames, args.width, args.height, args.qps,
-                      encode_ldp, gated=False, models_dir=args.models_dir)
+                      encode_ldp, gated=False, models_dir=args.models_dir,
+                      all_qps=tuple(args.qps))
         ldp_hm = None
         if not args.no_hm:
             print("[LDP HM]", flush=True)
