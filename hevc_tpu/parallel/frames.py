@@ -34,7 +34,8 @@ class FrameParallelAI:
                  cnn_params=None,
                  thresholds: Optional[hcpm.Thresholds] = None,
                  recon_backend: str = "auto",
-                 decide_chunk: int = 0):
+                 decide_chunk: int = 0,
+                 bucket_max_depth: bool = True):
         """decide_chunk > 0 splits the decide stage (CNN + mode/partition
         search) into sub-batches of that many frames while the recon
         wavefront still runs over the full frame batch: decide is
@@ -59,6 +60,7 @@ class FrameParallelAI:
                              and _rdoq.RDOQ_MODEL == "lite" else "ctu")
         self.recon_backend = recon_backend
         self.decide_chunk = decide_chunk
+        self.bucket_max_depth = bucket_max_depth
         self.thr = thresholds or hcpm.DEFAULT_AI
         self._origins = jnp.asarray(
             search.ctu_grid(cfg.pad_width, cfg.pad_height))
@@ -184,9 +186,116 @@ class FrameParallelAI:
         self._decide = jax.jit(decide_only)
         self._recon_tu_cache = {}
 
+        # --- frame-bucketed max-depth narrowing (gated only) ----------
+        # The TPU-native counterpart of the reference's RD-check
+        # skipping (TEncCu.cpp:862-873): frames whose HCPM gates rule
+        # out the deep CU levels dispatch to a SHALLOWER compiled
+        # decide program (no depth-3 / NxN work at all), grouped so
+        # each program runs at a fixed sub-batch shape. Stream-
+        # identical to the full program (tests/test_max_depth.py
+        # narrowing equivalence + test_frame_parallel bucketing test).
+        def cnn_probs(ys, params):
+            F = ys.shape[0]
+            H64, W64 = cfg.ctus_y * 64, cfg.ctus_x * 64
+            ypad = jnp.pad(ys, ((0, 0), (0, H64 - ys.shape[1]),
+                                (0, W64 - ys.shape[2])))
+            ctus = ypad.reshape(F, cfg.ctus_y, 64, cfg.ctus_x, 64)
+            ctus = ctus.transpose(0, 1, 3, 2, 4).reshape(-1, 64, 64)
+            qp = jnp.full((ctus.shape[0],), float(cfg.qp))
+            p = eth_cnn.apply(params, ctus, qp,
+                              thr_l1=self.thr.l1_lower,
+                              thr_l2=self.thr.l2_lower)
+            return p.reshape(F, -1, 21)
+
+        self._cnn = jax.jit(cnn_probs)
+        self._decide_md_cache = {}
+
+        def make_decide_md(md):
+            def decide_md(ys, cbs, crs, probs):
+                def one(y, cb, cr, pr):
+                    res = search.search_frame(
+                        y, self._origins, pad_w=cfg.pad_width,
+                        pad_h=cfg.pad_height, n_ctu_x=cfg.ctus_x,
+                        qp=cfg.qp, hcpm_probs=pr, thr_up=self.thr.up,
+                        thr_down=self.thr.down, cb_plane=cb,
+                        cr_plane=cr, nxn=cfg.nxn, max_depth=md)
+                    return (res.depth8, res.modes8, res.modes4,
+                            res.nxn8)
+
+                d8s, m8s, m4s, nxns = jax.vmap(one)(ys, cbs, crs, probs)
+                return (assemble(d8s, 8), assemble(m8s, 8),
+                        assemble(m4s, 16), assemble(nxns, 8))
+
+            def assemble(t, u):
+                F = t.shape[0]
+                nx, ny = cfg.ctus_x, cfg.ctus_y
+                a = t.reshape(F, ny, nx, u, u).transpose(0, 1, 3, 2, 4)
+                a = a.reshape(F, ny * u, nx * u)
+                return a[:, :cfg.pad_height * u // 64,
+                         :cfg.pad_width * u // 64]
+
+            return jax.jit(decide_md)
+
+        self._make_decide_md = make_decide_md
+
+    def _decide_md(self, md: int):
+        if md not in self._decide_md_cache:
+            self._decide_md_cache[md] = self._make_decide_md(md)
+        return self._decide_md_cache[md]
+
+    def _frame_max_depths(self, probs_h):
+        """Per-frame deepest gated CU level (host; [F, B, 21] probs)."""
+        from ..models import hcpm as hcpm_lib
+        from ..pipeline import search as search_lib
+        F, B, _ = probs_h.shape
+        cs = np.asarray(hcpm_lib.split_gates(
+            jnp.asarray(probs_h.reshape(F * B, 21)), self.thr)[1])
+        cs = cs.reshape(F, B, 21)
+        floor = search_lib.forced_depth_floor(self.cfg.pad_width,
+                                              self.cfg.pad_height)
+        out = []
+        for f in range(F):
+            if cs[f, :, 5:21].any():
+                md = 3
+            elif cs[f, :, 1:5].any():
+                md = 2
+            elif cs[f, :, 0].any():
+                md = 1
+            else:
+                md = 0
+            out.append(max(md, floor))
+        return out
+
+    def _decide_bucketed(self, ys, cbs, crs, params):
+        """CNN once, then per-max-depth decide programs over frame
+        buckets (fixed decide_chunk sub-batch shapes; ragged buckets
+        pad by repeating their last frame)."""
+        F = ys.shape[0]
+        probs = self._cnn(ys, params)
+        md_f = self._frame_max_depths(np.asarray(probs))
+        dc = self.decide_chunk if self.decide_chunk > 0 else F
+        outs = [None] * F
+        for md in sorted(set(md_f)):
+            idx = [i for i in range(F) if md_f[i] == md]
+            fn = self._decide_md(md)
+            for i0 in range(0, len(idx), dc):
+                grp = idx[i0:i0 + dc]
+                sel = grp + [grp[-1]] * (dc - len(grp))
+                sel_a = np.asarray(sel)
+                o = fn(ys[sel_a], cbs[sel_a], crs[sel_a], probs[sel_a])
+                for k, i in enumerate(grp):
+                    outs[i] = tuple(x[k] for x in o)
+        d, m, m4, nxn = (jnp.stack([o[k] for o in outs])
+                         for k in range(4))
+        return d, m, m4, nxn
+
     def _run_full(self, ys, cbs, crs, params):
         """Full pipeline with optionally sub-batched decide (see
         __init__.decide_chunk)."""
+        if params is not None and self.bucket_max_depth:
+            d, m, m4, nxn = self._decide_bucketed(ys, cbs, crs, params)
+            planes = self._recon_stage(ys, cbs, crs, d, m4, nxn)
+            return d, m, m4, nxn, planes
         dc = self.decide_chunk
         F = ys.shape[0]
         if dc <= 0 or F <= dc:

@@ -100,3 +100,23 @@ def test_ldp_multi_device():
     assert pstream == expected
     for i, (a, b) in enumerate(zip(precons, erecons)):
         np.testing.assert_array_equal(a.y, b.y, err_msg=f"frame {i}")
+
+
+def test_bucketed_max_depth_stream_identical():
+    """Frame-bucketed max-depth narrowing (gated decide dispatched to
+    shallower compiled programs per frame) is stream-identical to the
+    full-depth gated pipeline."""
+    import jax
+    from hevc_tpu.models import eth_cnn
+
+    cfg = headers.EncoderConfig(width=128, height=64, qp=32)
+    params = eth_cnn.init_params(jax.random.PRNGKey(3))
+    frames = [synth_frame(128, 64, seed=60 + i) for i in range(4)]
+    mesh = make_mesh(4, model_axis=1)
+    full = pframes.FrameParallelAI(cfg, mesh, cnn_params=params,
+                                   bucket_max_depth=False)
+    buck = pframes.FrameParallelAI(cfg, mesh, cnn_params=params,
+                                   bucket_max_depth=True, decide_chunk=2)
+    sf, _ = full.encode(frames, with_hash_sei=False)
+    sb, _ = buck.encode(frames, with_hash_sei=False)
+    assert sf == sb
